@@ -1,0 +1,271 @@
+"""Core NN layers in the canonical (B, H=beams, W=azimuth, C) NHWC layout.
+
+Circularity on the azimuth axis is a first-class parameter of `CircularConv`
+— the TPU-native replacement for the reference's module surgery
+(ldm/utils.py:125-203) and its custom `Conv2d`
+(vae/sgm/modules/diffusionmodules/model.py:64-108): wrap padding on W fuses
+into the XLA convolution; zero padding on H (beams) stays constant.
+
+Weight layout is HWIO so `lax.conv_general_dilated` maps straight onto the
+MXU. Torch import: torch OIHW' (O, I, k_azi, k_beam) -> transpose(3, 2, 1, 0).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+def wrap_pad_azimuth(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    """Circular pad on the azimuth (W) axis of an NHWC tensor."""
+    if lo == 0 and hi == 0:
+        return x
+    parts = []
+    if lo:
+        parts.append(x[:, :, -lo:])
+    parts.append(x)
+    if hi:
+        parts.append(x[:, :, :hi])
+    return jnp.concatenate(parts, axis=2)
+
+
+def _pair(v) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class CircularConv(nn.Module):
+    """2D conv, circular on azimuth (W) / zero-padded on beams (H).
+
+    `padding` is (pad_h, pad_w) symmetric, or ((h_lo, h_hi), (w_lo, w_hi))
+    for the asymmetric stride-2 downsampling pattern
+    (vae/sgm/modules/diffusionmodules/model.py:164-172).
+    With `circular=False` this is a plain zero-padded conv.
+    `coord=True` appends a normalized beam-coordinate channel (coordconv,
+    model.py:94-98).
+    """
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Any = 1
+    circular: bool = True
+    coord: bool = False
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Optional[Dtype] = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = _pair(self.kernel_size)
+        if isinstance(self.padding, int):
+            (h_lo, h_hi), (w_lo, w_hi) = (self.padding,) * 2, (self.padding,) * 2
+        elif isinstance(self.padding[0], int):
+            (h_lo, h_hi), (w_lo, w_hi) = (self.padding[0],) * 2, (self.padding[1],) * 2
+        else:
+            (h_lo, h_hi), (w_lo, w_hi) = self.padding
+
+        if self.coord:
+            h = x.shape[1]
+            coords = jnp.linspace(-1.0, 1.0, h, dtype=x.dtype)
+            coords = jnp.broadcast_to(coords[None, :, None, None],
+                                      (x.shape[0], h, x.shape[2], 1))
+            x = jnp.concatenate([x, coords], axis=-1)
+
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (kh, kw, in_ch // self.feature_group_count, self.features))
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        if self.circular:
+            x = wrap_pad_azimuth(x, w_lo, w_hi)
+            pad = ((h_lo, h_hi), (0, 0))
+        else:
+            pad = ((h_lo, h_hi), (w_lo, w_hi))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(dtype),
+            window_strides=_pair(self.strides),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class GroupNorm(nn.GroupNorm):
+    """flax GroupNorm already matches torch's channel grouping; alias with
+    torch-compatible defaults (GN32, model.py:59-62)."""
+    num_groups: int = 32
+    epsilon: float = 1e-6
+
+
+def nonlinearity(x: jnp.ndarray, kind: str = "silu") -> jnp.ndarray:
+    """Selectable activation (model.py:49-56)."""
+    if kind == "silu":
+        return jax.nn.silu(x)
+    if kind == "relu":
+        return jax.nn.relu(x)
+    raise NotImplementedError(kind)
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: float = 10000.0,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Sinusoidal timestep embedding matching diffusers
+    `get_timestep_embedding` with UNet2DModel defaults
+    (flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    exponent = -np.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb.astype(dtype)
+
+
+def upsample_nearest(x: jnp.ndarray, scale: Tuple[int, int] = (2, 2)) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsample on (H, W) of NHWC."""
+    sh, sw = scale
+    x = jnp.repeat(x, sh, axis=1)
+    x = jnp.repeat(x, sw, axis=2)
+    return x
+
+
+def attention_1head(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Single-head SDPA over flattened spatial tokens; q,k,v (B, T, C)."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("btc,bsc->bts", q, k) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bts,bsc->btc", weights, v)
+
+
+def attention_mh(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 n_heads: int) -> jnp.ndarray:
+    """Multi-head SDPA; q,k,v (B, T, C) with C = n_heads * head_dim.
+    Softmax is upcast to f32 (diffusers `upcast_softmax=True`)."""
+    b, t, c = q.shape
+    hd = c // n_heads
+    q, k, v = (u.reshape(b, -1, n_heads, hd).transpose(0, 2, 1, 3)
+               for u in (q, k, v))
+    scale = hd ** -0.5
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhts,bhsd->bhtd", weights, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, c)
+
+
+class VaeResnetBlock(nn.Module):
+    """sgm ResnetBlock (model.py:301-362): GN -> act -> conv -> GN -> act ->
+    dropout -> conv with a 1x1 (`nin_shortcut`) or 3x3 (`conv_shortcut`)
+    projection when channels change. temb path omitted (temb_ch == 0 in all
+    shipped VAE configs)."""
+    out_channels: int
+    dropout: float = 0.0
+    act: str = "silu"
+    circular: bool = True
+    coord: bool = False
+    use_conv_shortcut: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        h = GroupNorm(name="norm1", dtype=self.dtype)(x)
+        h = nonlinearity(h, self.act)
+        h = CircularConv(self.out_channels, 3, 1, 1, circular=self.circular,
+                         coord=self.coord, dtype=self.dtype, name="conv1")(h)
+        h = GroupNorm(name="norm2", dtype=self.dtype)(h)
+        h = nonlinearity(h, self.act)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = CircularConv(self.out_channels, 3, 1, 1, circular=self.circular,
+                         coord=self.coord, dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_channels:
+            if self.use_conv_shortcut:
+                x = CircularConv(self.out_channels, 3, 1, 1,
+                                 circular=self.circular, coord=self.coord,
+                                 dtype=self.dtype, name="conv_shortcut")(x)
+            else:
+                x = CircularConv(self.out_channels, 1, 1, 0, circular=False,
+                                 dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class VaeAttnBlock(nn.Module):
+    """sgm AttnBlock (model.py:372-412): single-head self-attention with 1x1
+    conv projections and residual."""
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        y = GroupNorm(name="norm", dtype=self.dtype)(x)
+        conv1x1 = lambda name: CircularConv(  # noqa: E731
+            c, 1, 1, 0, circular=False, dtype=self.dtype, name=name)
+        q = conv1x1("q")(y).reshape(b, h * w, c)
+        k = conv1x1("k")(y).reshape(b, h * w, c)
+        v = conv1x1("v")(y).reshape(b, h * w, c)
+        o = attention_1head(q, k, v).reshape(b, h, w, c)
+        o = conv1x1("proj_out")(o)
+        return x + o
+
+
+class VaeDownsample(nn.Module):
+    """sgm Downsample (model.py:151-175): stride-2 conv with asymmetric
+    padding — wrap (0,1) on azimuth, zeros (0,1) on beams."""
+    circular: bool = True
+    coord: bool = False
+    with_conv: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if not self.with_conv:
+            return nn.avg_pool(x, (2, 2), (2, 2))
+        ch = x.shape[-1]
+        return CircularConv(ch, 3, 2, ((0, 1), (0, 1)), circular=self.circular,
+                            coord=self.coord, dtype=self.dtype, name="conv")(x)
+
+
+class VaeUpsample(nn.Module):
+    """sgm Upsample (model.py:110-125): nearest 2x + circular conv."""
+    circular: bool = True
+    coord: bool = False
+    with_conv: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = upsample_nearest(x)
+        if self.with_conv:
+            x = CircularConv(x.shape[-1], 3, 1, 1, circular=self.circular,
+                             coord=self.coord, dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class PixelUnshuffleAzimuth(nn.Module):
+    """SparseRangeImageEncoder2 (ldm/encoders.py:86-95): parameter-free
+    azimuth pixel-unshuffle (B, H, W, C) -> (B, H, W/factor, C*factor).
+
+    Reference packs (B, C, W, H) -> (B, W*C, H) -> (B, W/4, 4*C, H): output
+    channel index = local_azi * C + c."""
+    factor: int = 4
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        f = self.factor
+        x = x.reshape(b, h, w // f, f, c)
+        return x.reshape(b, h, w // f, f * c)

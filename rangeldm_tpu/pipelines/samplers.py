@@ -1,0 +1,120 @@
+"""Sampling pipelines: the whole denoise loop is one `lax.scan` inside one
+jitted program — one XLA compilation per (pipeline, shape), zero per-step
+Python dispatch (vs 50 dispatches/sample in ldm/pipelines.py:353-362).
+
+Four pipelines mirror the reference API surface:
+  * ddpm_sample    — DDPMPipelineRange  (ldm/pipelines.py:14-117)
+  * ddim_sample    — DDIMPipelineRange  (:119-258), pos-encoding channel
+  * latent_sample  — LDMPipelineRange   (:261-383), VAE decode at the end
+  * conditional_latent_sample — LDMUpscalePipelineRange (:386-519)
+
+All functions take a `model_fn(x, t) -> model_out` closure (params already
+bound) so they stay agnostic of flax module plumbing and jit cleanly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rangeldm_tpu.diffusion.schedule import Schedule
+
+
+def make_pos_encoding(batch: int, h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """The vertical-ambiguity-breaking channel: zeros except azimuth column 0
+    (ldm/train_unconditional.py:455-463; torch dim-2 == our W axis)."""
+    pos = jnp.zeros((batch, h, w, 1), dtype)
+    return pos.at[:, :, 0, :].set(1.0)
+
+
+def _scan_ts(schedule: Schedule, num_steps: int):
+    ts = schedule.timesteps(num_steps)
+    ratio = schedule.cfg.num_train_timesteps // num_steps
+    return jnp.asarray(ts), jnp.asarray(ts - ratio)
+
+
+def denoise(model_fn: Callable, schedule: Schedule, x: jnp.ndarray,
+            num_steps: int, rng: jax.Array, *,
+            method: str = "ddim", eta: float = 0.0,
+            pos_encoding: Optional[jnp.ndarray] = None,
+            cond: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Run the full reverse process from x ~ N(0, I).
+
+    cond, if given, is concatenated on channels at every step (conditional
+    pipelines, ldm/pipelines.py:496-502); pos_encoding likewise (:356-358).
+    """
+    ts, ts_prev = _scan_ts(schedule, num_steps)
+
+    def body(carry, t_pair):
+        x, rng = carry
+        t, tp = t_pair
+        inp = x
+        if cond is not None:
+            inp = jnp.concatenate([inp, cond.astype(inp.dtype)], axis=-1)
+        if pos_encoding is not None:
+            inp = jnp.concatenate([inp, pos_encoding.astype(inp.dtype)], axis=-1)
+        out = model_fn(inp, t)
+        rng, sub = jax.random.split(rng)
+        if method == "ddpm":
+            x = schedule.ddpm_step(sub, out, t, tp, x)
+        else:
+            x = schedule.ddim_step(out, t, tp, x, eta=eta, rng=sub)
+        return (x, rng), None
+
+    (x, _), _ = jax.lax.scan(body, (x, rng), (ts, ts_prev))
+    return x
+
+
+def ddpm_sample(model_fn, schedule: Schedule, rng: jax.Array,
+                shape: Tuple[int, ...], num_steps: int = 1000,
+                pos_encoding: bool = False, dtype=jnp.float32) -> jnp.ndarray:
+    """Pixel-space ancestral sampling (DDPMPipelineRange)."""
+    rng, init = jax.random.split(rng)
+    x = jax.random.normal(init, shape, dtype)
+    pos = make_pos_encoding(shape[0], shape[1], shape[2], dtype) if pos_encoding else None
+    return denoise(model_fn, schedule, x, num_steps, rng, method="ddpm",
+                   pos_encoding=pos)
+
+
+def ddim_sample(model_fn, schedule: Schedule, rng: jax.Array,
+                shape: Tuple[int, ...], num_steps: int = 50, eta: float = 0.0,
+                pos_encoding: bool = False, dtype=jnp.float32) -> jnp.ndarray:
+    """Pixel-space DDIM sampling (DDIMPipelineRange / RangeDM)."""
+    rng, init = jax.random.split(rng)
+    x = jax.random.normal(init, shape, dtype)
+    pos = make_pos_encoding(shape[0], shape[1], shape[2], dtype) if pos_encoding else None
+    return denoise(model_fn, schedule, x, num_steps, rng, method="ddim",
+                   eta=eta, pos_encoding=pos)
+
+
+def latent_sample(model_fn, vae_decode: Callable, schedule: Schedule,
+                  rng: jax.Array, latent_shape: Tuple[int, ...],
+                  scaling_factor: float, num_steps: int = 50,
+                  eta: float = 0.0, method: str = "ddim",
+                  pos_encoding: bool = True,
+                  cond: Optional[jnp.ndarray] = None,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    """Latent diffusion sampling + VAE decode (LDMPipelineRange; conditional
+    when `cond` is provided, LDMUpscalePipelineRange)."""
+    rng, init = jax.random.split(rng)
+    latents = jax.random.normal(init, latent_shape, dtype)
+    latents = latents * schedule.init_noise_sigma
+    pos = (make_pos_encoding(latent_shape[0], latent_shape[1], latent_shape[2],
+                             dtype) if pos_encoding else None)
+    latents = denoise(model_fn, schedule, latents, num_steps, rng,
+                      method=method, eta=eta, pos_encoding=pos, cond=cond)
+    return vae_decode(latents / scaling_factor)
+
+
+def conditional_latent_sample(model_fn, vae_decode, schedule, rng,
+                              latent_shape, scaling_factor, cond,
+                              num_steps: int = 50, **kw):
+    """Alias with the conditional argument mandatory (upsampling/inpainting,
+    ldm/inference_conditional.py:160-170)."""
+    return latent_sample(model_fn, vae_decode, schedule, rng, latent_shape,
+                         scaling_factor, num_steps=num_steps, cond=cond,
+                         pos_encoding=kw.pop("pos_encoding", False), **kw)

@@ -1,0 +1,157 @@
+"""Scheduler golden tests vs an independent numpy implementation of the
+published DDPM (Ho et al. 2020, eq. 4/6/7) and DDIM (Song et al. 2020,
+eq. 12) formulas, in the diffusers configuration the reference uses."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rangeldm_tpu.diffusion.schedule import Schedule, ScheduleConfig
+from rangeldm_tpu.pipelines.samplers import (
+    denoise, ddim_sample, make_pos_encoding,
+)
+
+
+def np_schedule():
+    betas = np.linspace(1e-4, 0.02, 1000, dtype=np.float64)
+    return betas, np.cumprod(1 - betas)
+
+
+def test_betas_and_timesteps():
+    s = Schedule.create()
+    betas, acp = np_schedule()
+    np.testing.assert_allclose(np.asarray(s.betas), betas.astype(np.float32),
+                               rtol=1e-6)
+    ts = s.timesteps(50)
+    assert ts[0] == 980 and ts[-1] == 0 and len(ts) == 50
+    assert np.all(np.diff(ts) == -20)
+
+
+def test_add_noise_golden():
+    s = Schedule.create()
+    _, acp = np_schedule()
+    x0 = np.full((2, 3, 4, 1), 0.7, np.float32)
+    noise = np.full((2, 3, 4, 1), -0.2, np.float32)
+    t = np.array([0, 999])
+    out = np.asarray(s.add_noise(jnp.asarray(x0), jnp.asarray(noise),
+                                 jnp.asarray(t)))
+    for b, ti in enumerate(t):
+        expect = np.sqrt(acp[ti]) * 0.7 + np.sqrt(1 - acp[ti]) * -0.2
+        np.testing.assert_allclose(out[b], expect.astype(np.float32),
+                                   rtol=1e-5)
+
+
+def test_ddim_step_golden():
+    """DDIM eta=0 closed form: x_prev = sqrt(a_prev) x0 + sqrt(1-a_prev) eps."""
+    s = Schedule.create()
+    _, acp = np_schedule()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4, 4, 2)).astype(np.float32)
+    eps = rng.standard_normal((2, 4, 4, 2)).astype(np.float32)
+    t, tp = 980, 960
+    out = np.asarray(s.ddim_step(jnp.asarray(eps), jnp.asarray(t),
+                                 jnp.asarray(tp), jnp.asarray(x)))
+    x0 = (x - np.sqrt(1 - acp[t]) * eps) / np.sqrt(acp[t])
+    expect = np.sqrt(acp[tp]) * x0 + np.sqrt(1 - acp[tp]) * eps
+    np.testing.assert_allclose(out, expect.astype(np.float32), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_ddim_final_step_alpha_one():
+    """t_prev < 0 uses final_alpha_cumprod = 1 (set_alpha_to_one=True):
+    x_prev == pred_x0 exactly."""
+    s = Schedule.create()
+    _, acp = np_schedule()
+    x = np.ones((1, 2, 2, 1), np.float32) * 0.3
+    eps = np.ones_like(x) * 0.1
+    out = np.asarray(s.ddim_step(jnp.asarray(eps), jnp.asarray(0),
+                                 jnp.asarray(-20), jnp.asarray(x)))
+    x0 = (x - np.sqrt(1 - acp[0]) * eps) / np.sqrt(acp[0])
+    np.testing.assert_allclose(out, x0.astype(np.float32), rtol=1e-5, atol=1e-6)
+
+
+def test_ddpm_step_golden_mean():
+    """DDPM posterior mean (Ho et al. eq. 7) checked at t=0 where no noise is
+    added."""
+    s = Schedule.create()
+    betas, acp = np_schedule()
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 4, 4, 1)).astype(np.float32)
+    eps = rng.standard_normal((1, 4, 4, 1)).astype(np.float32)
+    t, tp = 0, -1
+    out = np.asarray(s.ddpm_step(jax.random.PRNGKey(0), jnp.asarray(eps),
+                                 jnp.asarray(t), jnp.asarray(tp),
+                                 jnp.asarray(x)))
+    a_t, a_prev = acp[0], 1.0
+    x0 = (x - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t)
+    cur_beta = 1 - a_t / a_prev
+    coef0 = np.sqrt(a_prev) * cur_beta / (1 - a_t)
+    coef1 = np.sqrt(a_t / a_prev) * (1 - a_prev) / (1 - a_t)
+    np.testing.assert_allclose(out, (coef0 * x0 + coef1 * x).astype(np.float32),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_ddpm_variance_matches_fixed_small():
+    """Statistical check of the fixed_small variance over many draws."""
+    s = Schedule.create()
+    betas, acp = np_schedule()
+    t, tp = 500, 480
+    x = jnp.zeros((4096, 1, 1, 1))
+    eps = jnp.zeros_like(x)
+    out = np.asarray(s.ddpm_step(jax.random.PRNGKey(3), eps,
+                                 jnp.asarray(t), jnp.asarray(tp), x))
+    var = (1 - acp[tp]) / (1 - acp[t]) * (1 - acp[t] / acp[tp])
+    assert abs(out.std() - np.sqrt(var)) < 0.05 * np.sqrt(var)
+
+
+def test_v_prediction_identities():
+    s = Schedule.create(ScheduleConfig(prediction_type="v_prediction"))
+    _, acp = np_schedule()
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal((1, 2, 2, 1)).astype(np.float32)
+    noise = rng.standard_normal((1, 2, 2, 1)).astype(np.float32)
+    t = jnp.asarray([700])
+    xt = s.add_noise(jnp.asarray(x0), jnp.asarray(noise), t)
+    v = s.get_velocity(jnp.asarray(x0), jnp.asarray(noise), t)
+    rec_x0, rec_eps = s.pred_x0(v, t, xt)
+    np.testing.assert_allclose(np.asarray(rec_x0)[0], x0[0], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rec_eps)[0], noise[0], rtol=1e-3, atol=1e-4)
+
+
+def test_min_snr_weight():
+    s = Schedule.create()
+    _, acp = np_schedule()
+    t = jnp.asarray([10, 990])
+    w = np.asarray(s.min_snr_weight(t, gamma=5.0))
+    snr = acp[[10, 990]] / (1 - acp[[10, 990]])
+    np.testing.assert_allclose(w, np.minimum(snr, 5.0) / snr, rtol=1e-4)
+
+
+def test_denoise_scan_matches_python_loop():
+    """The lax.scan loop must equal an explicit Python loop of steps."""
+    s = Schedule.create()
+
+    def model_fn(x, t):
+        # a fake epsilon model: deterministic function of x and t
+        return 0.1 * x + 0.01 * jnp.asarray(t, x.dtype)
+
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 2))
+    out_scan = denoise(model_fn, s, x0, 10, rng, method="ddim")
+
+    ts = s.timesteps(10)
+    x = x0
+    r = rng
+    for t in ts:
+        eps = model_fn(x, jnp.asarray(t))
+        r, sub = jax.random.split(r)
+        x = s.ddim_step(eps, jnp.asarray(t), jnp.asarray(t - 100), x)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pos_encoding_layout():
+    pos = np.asarray(make_pos_encoding(2, 16, 256))
+    assert pos.shape == (2, 16, 256, 1)
+    assert pos[:, :, 0, :].min() == 1.0
+    assert pos[:, :, 1:, :].max() == 0.0
