@@ -34,6 +34,9 @@ def main():
     from rangeldm_tpu.models.vae import AutoencoderKL
     from rangeldm_tpu.models.zoo import rangeldm_kitti360
     from rangeldm_tpu.pipelines.samplers import latent_sample
+    from rangeldm_tpu.utils.cache import enable_compilation_cache, init_on_cpu
+
+    enable_compilation_cache()
 
     spec = rangeldm_kitti360()
     dtype = jnp.bfloat16
@@ -41,13 +44,15 @@ def main():
     vae = AutoencoderKL(spec.vae, dtype=dtype)
 
     h, w = spec.unet.sample_size
-    lat = jnp.zeros((BATCH, h, w, spec.unet.in_channels), dtype)
-    t0 = jnp.zeros((BATCH,), jnp.int32)
-    unet_params = unet.init(jax.random.PRNGKey(0), lat, t0)
+    lat = np.zeros((1, h, w, spec.unet.in_channels), np.float32)
+    t0 = np.zeros((1,), np.int32)
+    unet_params = init_on_cpu(unet.init, jax.random.PRNGKey(0), lat, t0)
+    unet_params = jax.device_put(unet_params, jax.devices()[0])
 
-    img = jnp.zeros((1, *spec.image_size, spec.vae.in_channels), dtype)
-    vae_params = vae.init({"params": jax.random.PRNGKey(1)}, img,
-                          rng=jax.random.PRNGKey(2))
+    img = np.zeros((1, *spec.image_size, spec.vae.in_channels), np.float32)
+    vae_params = init_on_cpu(vae.init, {"params": jax.random.PRNGKey(1)}, img,
+                             rng=jax.random.PRNGKey(2))
+    vae_params = jax.device_put(vae_params, jax.devices()[0])
 
     schedule = spec.make_schedule()
 
@@ -65,9 +70,14 @@ def main():
                              dtype=dtype)
 
     rng = jax.random.PRNGKey(0)
-    # compile + warmup
+    # compile + warmup (persistent-cached; first build over the TPU tunnel
+    # is slow, later runs are instant)
+    import sys
+    tc = time.perf_counter()
     out = sample(rng)
     jax.block_until_ready(out)
+    print(f"[bench] compile+warmup {time.perf_counter() - tc:.1f}s",
+          file=sys.stderr)
 
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     start = time.perf_counter()

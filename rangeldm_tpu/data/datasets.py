@@ -1,0 +1,210 @@
+"""Datasets & loading (L1): KITTI-360 / nuScenes / vanilla readers with
+projection caching, train/test splits, and condition generation.
+
+Re-implements RangeDataset/RangeLoader (ldm/dataset.py:298-417) and the
+dataset subclasses (ldm/kitti360_range_image.py:65-130,
+ldm/nuscenes_range_image.py:48-121) with idiomatic-NHWC outputs:
+
+  sample dict: jpg (H, W, C) float32, mask (H, W) bool, car_window_mask
+  (H, W) bool [, down, inpainting_mask, masked_image]
+
+Differences from the reference, by design:
+  * cache files are .npz next to the raw scans (data_3d_range dirs), not
+    torch .pth;
+  * the projection runs through geometry.range_image_np (bit-faithful);
+  * conditions (down/inpainting) are derived at load time from the cached
+    projection, mirroring ldm/dataset.py:340-362.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from glob import glob
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from rangeldm_tpu.geometry import SensorSpec, get_spec, range_image_np
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+    root: str
+    sensor: str = "kitti360"
+    width: int = 1024
+    used_feature: int = 2
+    downsample: Optional[Sequence[int]] = None   # [beam_stride? azi?] see below
+    inpainting: Optional[float] = None           # masked azimuth fraction
+    coord: bool = False
+    cache: bool = True
+    log: bool = False
+    inverse: bool = False
+    mean: Optional[float] = None
+    std: Optional[float] = None
+
+
+class RangeImageDataset:
+    """Indexable dataset of projected range images."""
+
+    def __init__(self, cfg: DatasetConfig, train: bool = True):
+        self.cfg = cfg
+        kw = {}
+        if cfg.mean is not None:
+            kw["mean"] = cfg.mean
+        if cfg.std is not None:
+            kw["std"] = cfg.std
+        self.spec: SensorSpec = get_spec(
+            cfg.sensor, width=cfg.width, log=cfg.log, inverse=cfg.inverse, **kw)
+        self.train = train
+        self.files = self._list_files()
+        downsample = cfg.downsample
+        if isinstance(downsample, int):
+            # reference normalizes int -> [1, n] (ldm/dataset.py:341-342):
+            # stride n on the beam axis only
+            downsample = [1, downsample]
+        self.downsample = downsample
+        self.inpainting = cfg.inpainting
+
+    # -- file discovery ---------------------------------------------------
+    def _list_files(self) -> List[str]:
+        cfg = self.cfg
+        if cfg.sensor in ("kitti360", "kitti360_vanilla"):
+            files = glob(os.path.join(
+                cfg.root, "data_3d_raw/*/velodyne_points/data/*.bin"))
+            held_out = ("0000_sync", "0002_sync")
+            if self.train:
+                files = [f for f in files
+                         if not any(h in f for h in held_out)]
+            else:
+                files = [f for f in files if any(h in f for h in held_out)]
+            return sorted(files)
+        if cfg.sensor == "nuscenes":
+            split = "v1.0-trainval" if self.train else "v1.0-test"
+            with open(os.path.join(cfg.root, split, "sample_data.json")) as f:
+                sample_data = json.load(f)
+            files = [os.path.join(cfg.root, x["filename"]) for x in sample_data
+                     if "sweeps/LIDAR_TOP" in x["filename"]]
+            return sorted(files)
+        raise ValueError(cfg.sensor)
+
+    def _load_points(self, path: str) -> np.ndarray:
+        if self.cfg.sensor == "nuscenes":
+            pts = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
+            pts[:, 3] /= 255.0       # ldm/nuscenes_range_image.py:78
+            return pts
+        return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+    def _cache_path(self, path: str) -> str:
+        if self.cfg.sensor == "nuscenes":
+            return path.replace("sweeps", "sweeps_range").replace(".bin", ".npz")
+        return path.replace("data_3d_raw", "data_3d_range").replace(
+            ".bin", ".npz")
+
+    # -- sample assembly --------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _base_sample(self, path: str) -> Dict[str, np.ndarray]:
+        cache = self._cache_path(path)
+        if self.cfg.cache and os.path.exists(cache):
+            with np.load(cache) as z:
+                img, mask, cw = z["jpg"], z["mask"], z["car_window_mask"]
+        else:
+            pts = self._load_points(path)
+            img, mask, cw = range_image_np(pts, self.spec)
+            if self.cfg.cache:
+                Path(cache).parent.mkdir(parents=True, exist_ok=True)
+                np.savez_compressed(cache, jpg=img, mask=mask,
+                                    car_window_mask=cw)
+        img = img[..., :self.cfg.used_feature]
+        if self.cfg.coord:
+            h = img.shape[0]
+            coord = np.broadcast_to(
+                (np.arange(h, dtype=np.float32) / h)[:, None, None],
+                (h, img.shape[1], 1))
+            img = np.concatenate([img, coord], axis=-1)
+        return {"jpg": img.astype(np.float32), "mask": mask,
+                "car_window_mask": cw}
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        ret = self._base_sample(self.files[idx])
+        img = ret["jpg"]
+        if self.downsample:
+            sb, sa = self.downsample[1], self.downsample[0]
+            # reference subsamples (C, W_azi, H_beam) with strides
+            # (down[0] on azi, down[1] on beams) starting at stride//2
+            # (ldm/dataset.py:344-346)
+            ret["down"] = img[(sb // 2)::sb, (sa // 2)::sa, :]
+        if self.inpainting:
+            h, w, c = img.shape
+            # mask a leading azimuth sector of fraction `inpainting`
+            # (ldm/dataset.py:347-362; start fixed at 0)
+            m = -np.ones((h, w, 1), np.float32)
+            end = int(self.inpainting * w)
+            m[:, :end, :] = 1.0
+            masked = -np.ones_like(img)
+            keep = m[..., 0] < 0
+            masked[keep] = img[keep]
+            ret["inpainting_mask"] = m
+            ret["masked_image"] = masked
+        return ret
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack a list of sample dicts (ldm/dataset.py:370-380)."""
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+class RangeLoader:
+    """Minimal epoch iterator with shuffling and a background prefetch
+    thread — the torch-DataLoader replacement feeding the TPU host
+    pipeline."""
+
+    def __init__(self, dataset: RangeImageDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2, num_threads: int = 8):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.num_threads = num_threads
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        pool = ThreadPoolExecutor(self.num_threads)
+
+        def produce():
+            for b in range(nb):
+                idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                samples = list(pool.map(self.dataset.__getitem__, idx))
+                q.put(collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        pool.shutdown(wait=False)

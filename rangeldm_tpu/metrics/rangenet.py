@@ -1,0 +1,252 @@
+"""RangeNet++ darknet53 segmentation network (FRD feature extractor, X5/X7).
+
+JAX port of the vendored lidar-bonnetal model
+(metrics/rangenetpp/lidar_bonnetal_master/train/backbones/darknet.py,
+tasks/semantic/decoders/darknet.py, modules/segmentator.py) in NHWC
+(H=64 beams, W=1024 azimuth — note RangeNet's torch layout is standard
+(B, C, H, W), unlike the RangeLDM training stack).
+
+FRD uses the decoder's final 32-channel feature map (decoders/darknet.py:
+122-134); IoU/accuracy use the head's argmax. Weights load from the released
+`darknet53-1024` checkpoint (backbone / segmentation_decoder /
+segmentation_head torch files) via convert_rangenet_state_dict.
+
+All BatchNorms run in inference mode (running stats).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from rangeldm_tpu.convert.torch_common import t2j_conv
+
+# Sensor normalization from the darknet53-1024 arch config
+# (lidar-bonnetal data/sensor: img_means/img_stds for [range, x, y, z,
+# remission]).
+KITTI_IMG_MEANS = np.array([12.12, 10.88, 0.23, -1.04, 0.21], np.float32)
+KITTI_IMG_STDS = np.array([12.32, 11.47, 6.91, 0.86, 0.16], np.float32)
+
+_BLOCKS_53 = (1, 2, 8, 8, 4)
+_CHANNELS = (32, 64, 128, 256, 512, 1024)
+
+
+def lrelu(x):
+    return jax.nn.leaky_relu(x, 0.1)
+
+
+class ConvBN(nn.Module):
+    """conv (no bias) + BN(inference) + LeakyReLU(0.1)."""
+    features: int
+    kernel: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: Sequence[int] = (1, 1)
+    relu: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, tuple(self.kernel), tuple(self.strides),
+                    padding=tuple((p, p) for p in self.padding),
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                         dtype=self.dtype, name="bn")(x)
+        return lrelu(x) if self.relu else x
+
+
+class BasicBlock(nn.Module):
+    """1x1 bottleneck + 3x3 conv, residual (darknet.py:10-33)."""
+    planes: Sequence[int]
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = ConvBN(self.planes[0], (1, 1), padding=(0, 0), dtype=self.dtype,
+                   name="c1")(x)
+        h = ConvBN(self.planes[1], (3, 3), padding=(1, 1), dtype=self.dtype,
+                   name="c2")(h)
+        return x + h
+
+
+class DarknetBackbone(nn.Module):
+    """darknet53 encoder: stride-2 downsampling on azimuth only
+    (stride=[1,2], backbones/darknet.py:135-138). Returns (features,
+    skips dict keyed by output stride)."""
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBN(32, name="conv1", dtype=self.dtype)(x)
+        skips = {}
+        os = 1
+        for stage, (nblocks, ch) in enumerate(zip(_BLOCKS_53, _CHANNELS[1:]),
+                                              start=1):
+            skips[os] = x
+            os *= 2
+            x = ConvBN(ch, strides=(1, 2), dtype=self.dtype,
+                       name=f"enc{stage}_conv")(x)
+            for b in range(nblocks):
+                x = BasicBlock((ch // 2, ch), dtype=self.dtype,
+                               name=f"enc{stage}_res{b}")(x)
+        return x, skips
+
+
+class UpConvW(nn.Module):
+    """torch ConvTranspose2d(k=[1,4], s=[1,2], p=[0,1]) — azimuth 2x
+    upsample — as lhs-dilated conv with the rotated kernel so released
+    weights drop in exactly. Kernel param layout (kh, kw, in, out)
+    (torch (in, out, kh, kw).transpose(2, 3, 0, 1))."""
+    features: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 4, in_ch, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), jnp.flip(kernel, axis=(0, 1)).astype(dtype),
+            window_strides=(1, 1),
+            padding=((0, 0), (2, 2)),        # k-1-p = 4-1-1 = 2 on azimuth
+            lhs_dilation=(1, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(dtype)
+
+
+class DecStage(nn.Module):
+    """Decoder stage: upconv (or conv) + BN + relu + residual block."""
+    planes: Sequence[int]
+    upsample: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.upsample:
+            x = UpConvW(self.planes[1], dtype=self.dtype, name="upconv")(x)
+        else:
+            x = nn.Conv(self.planes[1], (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                         dtype=self.dtype, name="bn")(x)
+        x = lrelu(x)
+        return BasicBlock(self.planes, dtype=self.dtype, name="residual")(x)
+
+
+class RangeNet(nn.Module):
+    """Backbone + decoder (+ optional head). __call__ returns
+    (features (B, 64, 1024, 32), logits or None)."""
+    n_classes: int = 20
+    with_head: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        feats, skips = DarknetBackbone(dtype=self.dtype, name="backbone")(x)
+        os = 32
+        h = feats
+        stages = [(1024, 512), (512, 256), (256, 128), (128, 64), (64, 32)]
+        for i, planes in enumerate(stages):
+            h = DecStage(planes, upsample=True, dtype=self.dtype,
+                         name=f"dec{5 - i}")(h)
+            os //= 2
+            h = h + skips[os]
+        features = h                       # FRD feature map, pre-dropout
+        logits = None
+        if self.with_head:
+            logits = nn.Conv(self.n_classes, (3, 3),
+                             padding=((1, 1), (1, 1)), dtype=self.dtype,
+                             name="head_conv")(features)
+        return features, logits
+
+
+def preprocess_scan(proj_range, proj_xyz, proj_remission, proj_mask,
+                    means=KITTI_IMG_MEANS, stds=KITTI_IMG_STDS):
+    """Build the normalized 5-channel input
+    (modules/kittiparser.py:386-395): cat([range, xyz, remission]),
+    standardize, zero where no return. All inputs (H, W[, 3]) numpy."""
+    proj = np.concatenate([proj_range[..., None], proj_xyz,
+                           proj_remission[..., None]], axis=-1)
+    proj = (proj - means) / stds
+    return (proj * proj_mask[..., None]).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def _bn_to(params, stats, path, sd, key):
+    params[path + ("scale",)] = sd[key + ".weight"]
+    params[path + ("bias",)] = sd[key + ".bias"]
+    stats[path + ("mean",)] = sd[key + ".running_mean"]
+    stats[path + ("var",)] = sd[key + ".running_var"]
+
+
+def convert_rangenet_state_dict(backbone_sd: Dict[str, np.ndarray],
+                                decoder_sd: Dict[str, np.ndarray],
+                                head_sd: Optional[Dict[str, np.ndarray]] = None):
+    """Map the released torch state dicts onto RangeNet's variables."""
+    p: Dict[tuple, np.ndarray] = {}
+    s: Dict[tuple, np.ndarray] = {}
+
+    def conv_to(path, key):
+        p[path + ("conv", "kernel")] = t2j_conv(backbone_sd[key + ".weight"]) \
+            if key + ".weight" in backbone_sd else t2j_conv(decoder_sd[key + ".weight"])
+
+    # backbone
+    bb = ("backbone",)
+    p[bb + ("conv1", "conv", "kernel")] = t2j_conv(backbone_sd["conv1.weight"])
+    _bn_to(p, s, bb + ("conv1", "bn"), backbone_sd, "bn1")
+    for stage, nblocks in enumerate(_BLOCKS_53, start=1):
+        pre = f"enc{stage}"
+        p[bb + (f"{pre}_conv", "conv", "kernel")] = t2j_conv(
+            backbone_sd[f"{pre}.conv.weight"])
+        _bn_to(p, s, bb + (f"{pre}_conv", "bn"), backbone_sd, f"{pre}.bn")
+        for b in range(nblocks):
+            rb = f"{pre}.residual_{b}"
+            tgt = bb + (f"{pre}_res{b}",)
+            p[tgt + ("c1", "conv", "kernel")] = t2j_conv(
+                backbone_sd[rb + ".conv1.weight"])
+            _bn_to(p, s, tgt + ("c1", "bn"), backbone_sd, rb + ".bn1")
+            p[tgt + ("c2", "conv", "kernel")] = t2j_conv(
+                backbone_sd[rb + ".conv2.weight"])
+            _bn_to(p, s, tgt + ("c2", "bn"), backbone_sd, rb + ".bn2")
+
+    # decoder
+    for i in range(5):
+        dec = f"dec{5 - i}"
+        tgt = (dec,)
+        up_w = decoder_sd[f"{dec}.upconv.weight"]          # (in, out, 1, 4)
+        p[tgt + ("upconv", "kernel")] = np.ascontiguousarray(
+            up_w.transpose(2, 3, 0, 1))
+        p[tgt + ("upconv", "bias")] = decoder_sd[f"{dec}.upconv.bias"]
+        _bn_to(p, s, tgt + ("bn",), decoder_sd, f"{dec}.bn")
+        rb = f"{dec}.residual"
+        p[tgt + ("residual", "c1", "conv", "kernel")] = t2j_conv(
+            decoder_sd[rb + ".conv1.weight"])
+        _bn_to(p, s, tgt + ("residual", "c1", "bn"), decoder_sd, rb + ".bn1")
+        p[tgt + ("residual", "c2", "conv", "kernel")] = t2j_conv(
+            decoder_sd[rb + ".conv2.weight"])
+        _bn_to(p, s, tgt + ("residual", "c2", "bn"), decoder_sd, rb + ".bn2")
+
+    if head_sd is not None:
+        # head = Sequential(Dropout, Conv2d) -> key "1.weight"/"1.bias"
+        p[("head_conv", "kernel")] = t2j_conv(head_sd["1.weight"])
+        p[("head_conv", "bias")] = head_sd["1.bias"]
+
+    def nest(flat):
+        tree: Dict = {}
+        for path, v in flat.items():
+            node = tree
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = jnp.asarray(v)
+        return tree
+
+    return {"params": nest(p), "batch_stats": nest(s)}

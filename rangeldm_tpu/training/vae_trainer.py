@@ -1,0 +1,229 @@
+"""VAE GAN training (T4 + E1-E4): alternating generator/discriminator steps.
+
+Re-implements `GeneralLPIPSWithDiscriminator`
+(vae/sgm/modules/autoencoding/losses/__init__.py:89-378) and the engine's
+two-optimizer training_step (vae/sgm/models/autoencoder.py:186-221) as two
+pure jitted steps (the reference relies on PL-version-specific optimizer_idx
+behavior; we make the alternation explicit, per SURVEY.md section 3.3).
+
+The adaptive discriminator weight (losses/__init__.py:200-215) —
+||d nll/d W_last|| / ||d g/d W_last|| at the decoder's output conv — is
+computed with one jax.vjp of the decoder at stop_grad(z) and two cotangent
+pulls; numerically identical to the reference's double autograd.grad.
+
+Shipped KITTI config: disc_start=200000, disc_weight=0.5, metakernel
+discriminator, kl weight 1e-6, range/intensity weights 40/10
+(vae/configs/kitti360.yaml).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rangeldm_tpu.models.vae import AutoencoderKL, gaussian_kl, gaussian_sample
+from rangeldm_tpu.training.ema import ema_update, warmup_decay
+
+
+@dataclasses.dataclass(frozen=True)
+class VaeLossConfig:
+    disc_start: int = 200000
+    disc_weight: float = 0.5
+    disc_factor: float = 1.0
+    range_weight: float = 40.0
+    intensity_weight: float = 10.0
+    used_feature: int = 2
+    kl_weight: float = 1e-6
+    disc_loss: str = "hinge"            # 'hinge' | 'vanilla'
+    learn_logvar: bool = False
+    logvar_init: float = 0.0
+    ema_decay: float = 0.9999
+
+
+class VaeGanState(struct.PyTreeNode):
+    step: jnp.ndarray
+    gen_params: Any                      # {'vae': ..., 'logvar': scalar}
+    disc_params: Any
+    disc_batch_stats: Any
+    gen_opt: Any
+    disc_opt: Any
+    ema_params: Optional[Any] = None     # shadow of gen_params['vae']
+    ema_updates: Optional[jnp.ndarray] = None
+
+
+def reconstruction_loss(x, xrec, cfg: VaeLossConfig):
+    """Channel-weighted L1 (losses/__init__.py:252-254); NHWC channel 0 =
+    range, 1 = intensity."""
+    rec = cfg.range_weight * jnp.abs(x[..., 0] - xrec[..., 0])
+    if cfg.used_feature > 1:
+        rec = rec + cfg.intensity_weight * jnp.abs(x[..., 1] - xrec[..., 1])
+    return rec
+
+
+def hinge_d_loss(logits_real, logits_fake):
+    return 0.5 * (jnp.mean(jax.nn.relu(1.0 - logits_real)) +
+                  jnp.mean(jax.nn.relu(1.0 + logits_fake)))
+
+
+def vanilla_d_loss(logits_real, logits_fake):
+    return 0.5 * (jnp.mean(jax.nn.softplus(-logits_real)) +
+                  jnp.mean(jax.nn.softplus(logits_fake)))
+
+
+def create_vae_gan_state(vae_params, disc_vars, gen_tx, disc_tx,
+                         cfg: VaeLossConfig) -> VaeGanState:
+    gen_params = {"vae": vae_params["params"],
+                  "logvar": jnp.asarray(cfg.logvar_init, jnp.float32)}
+    return VaeGanState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_params,
+        disc_params=disc_vars["params"],
+        disc_batch_stats=disc_vars.get("batch_stats", {}),
+        gen_opt=gen_tx.init(gen_params),
+        disc_opt=disc_tx.init(disc_vars["params"]),
+        ema_params=jax.tree.map(jnp.copy, vae_params["params"]),
+        ema_updates=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
+                       gen_tx, disc_tx, cfg: VaeLossConfig):
+    """Returns (gen_step, disc_step), each (state, batch, rng) ->
+    (state, metrics). `disc_apply(variables, x, train, mutable)` wraps the
+    discriminator module."""
+    d_loss_fn = hinge_d_loss if cfg.disc_loss == "hinge" else vanilla_d_loss
+
+    def forward(vae_params, batch, rng):
+        moments = vae.apply({"params": vae_params}, batch,
+                            method="encode_moments")
+        z = gaussian_sample(rng, moments)
+        xrec = vae.apply({"params": vae_params}, z, method="decode")
+        return xrec, z, moments
+
+    def disc_factor_at(step):
+        return jnp.where(step >= cfg.disc_start, cfg.disc_factor, 0.0)
+
+    # ---------------- generator ----------------
+    def gen_step(state: VaeGanState, batch: jnp.ndarray, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(gen_params):
+            vp, logvar = gen_params["vae"], gen_params["logvar"]
+            if not cfg.learn_logvar:
+                logvar = jax.lax.stop_gradient(logvar)
+            xrec, z, moments = forward(vp, batch, rng)
+
+            rec = reconstruction_loss(batch, xrec, cfg)
+            nll = rec / jnp.exp(logvar) + logvar
+            nll_loss = jnp.sum(nll) / batch.shape[0]
+            kl = gaussian_kl(moments)
+            kl_loss = jnp.sum(kl) / kl.shape[0]
+
+            disc_vars = {"params": state.disc_params,
+                         "batch_stats": state.disc_batch_stats}
+            logits_fake, new_stats = disc_apply(disc_vars, xrec, train=True,
+                                                mutable=True)
+            g_loss = -jnp.mean(logits_fake)
+
+            # adaptive weight at the decoder's final conv kernel
+            w_last = vp["decoder"]["conv_out"]["kernel"]
+            z_sg = jax.lax.stop_gradient(z)
+
+            def dec(w):
+                p2 = {**vp, "decoder": {**vp["decoder"],
+                                        "conv_out": {**vp["decoder"]["conv_out"],
+                                                     "kernel": w}}}
+                return vae.apply({"params": p2}, z_sg, method="decode")
+
+            xrec2, dec_vjp = jax.vjp(dec, w_last)
+
+            def nll_scalar(xr):
+                r = reconstruction_loss(batch, xr, cfg)
+                return jnp.sum(r / jnp.exp(logvar) + logvar) / batch.shape[0]
+
+            def g_scalar(xr):
+                lf, _ = disc_apply(disc_vars, xr, train=True, mutable=True)
+                return -jnp.mean(lf)
+
+            nll_cot = jax.grad(nll_scalar)(xrec2)
+            g_cot = jax.grad(g_scalar)(xrec2)
+            nll_g = dec_vjp(nll_cot)[0]
+            g_g = dec_vjp(g_cot)[0]
+            d_weight = (jnp.linalg.norm(nll_g.ravel()) /
+                        (jnp.linalg.norm(g_g.ravel()) + 1e-4))
+            d_weight = jax.lax.stop_gradient(
+                jnp.clip(d_weight, 0.0, 1e4)) * cfg.disc_weight
+
+            df = disc_factor_at(state.step)
+            loss = nll_loss + d_weight * df * g_loss + cfg.kl_weight * kl_loss
+            metrics = {"total_loss": loss, "nll_loss": nll_loss,
+                       "rec_loss": jnp.mean(rec), "kl_loss": kl_loss,
+                       "g_loss": g_loss, "d_weight": d_weight,
+                       "disc_factor": df, "logvar": logvar}
+            return loss, (metrics, new_stats)
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.gen_params)
+        updates, gen_opt = gen_tx.update(grads, state.gen_opt,
+                                         state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, updates)
+
+        ema_params, ema_updates = state.ema_params, state.ema_updates
+        if ema_params is not None:
+            ema_updates = ema_updates + 1
+            decay = warmup_decay(ema_updates, cfg.ema_decay)
+            ema_params = ema_update(ema_params, gen_params["vae"], decay)
+
+        state = state.replace(step=state.step + 1, gen_params=gen_params,
+                              gen_opt=gen_opt,
+                              disc_batch_stats=new_stats["batch_stats"],
+                              ema_params=ema_params, ema_updates=ema_updates)
+        return state, metrics
+
+    # ---------------- discriminator ----------------
+    def disc_step(state: VaeGanState, batch: jnp.ndarray, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        xrec, _, _ = forward(state.gen_params["vae"], batch, rng)
+        xrec = jax.lax.stop_gradient(xrec)
+
+        def loss_fn(disc_params):
+            dv = {"params": disc_params,
+                  "batch_stats": state.disc_batch_stats}
+            logits_real, stats1 = disc_apply(dv, batch, train=True,
+                                             mutable=True)
+            dv2 = {"params": disc_params,
+                   "batch_stats": stats1["batch_stats"]}
+            logits_fake, stats2 = disc_apply(dv2, xrec, train=True,
+                                             mutable=True)
+            df = disc_factor_at(state.step)
+            d_loss = df * d_loss_fn(logits_real, logits_fake)
+            metrics = {"disc_loss": d_loss,
+                       "logits_real": jnp.mean(logits_real),
+                       "logits_fake": jnp.mean(logits_fake)}
+            return d_loss, (metrics, stats2)
+
+        (_, (metrics, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.disc_params)
+        updates, disc_opt = disc_tx.update(grads, state.disc_opt,
+                                           state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, updates)
+        state = state.replace(disc_params=disc_params, disc_opt=disc_opt,
+                              disc_batch_stats=stats["batch_stats"])
+        return state, metrics
+
+    return gen_step, disc_step
+
+
+def make_disc_apply(disc_module):
+    """Standard wrapper for the discriminator modules in this repo."""
+    def disc_apply(variables, x, train: bool, mutable: bool):
+        if mutable:
+            return disc_module.apply(variables, x, train=train,
+                                     mutable=["batch_stats"])
+        return disc_module.apply(variables, x, train=train), None
+    return disc_apply

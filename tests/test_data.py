@@ -1,0 +1,85 @@
+"""Dataset/loader tests over a synthetic on-disk KITTI-360 tree."""
+
+import numpy as np
+import pytest
+
+from rangeldm_tpu.data.datasets import DatasetConfig, RangeImageDataset, RangeLoader, collate
+from conftest import synthetic_scan
+
+
+@pytest.fixture
+def kitti_tree(tmp_path, rng):
+    root = tmp_path / "kitti"
+    for drive in ["0000_sync", "0002_sync", "0003_sync", "0004_sync"]:
+        d = root / "data_3d_raw" / f"2013_05_28_drive_{drive}" / \
+            "velodyne_points" / "data"
+        d.mkdir(parents=True)
+        for i in range(3):
+            synthetic_scan(rng, n=8000).tofile(d / f"{i:010d}.bin")
+    return str(root)
+
+
+def test_split_and_shapes(kitti_tree):
+    cfg = DatasetConfig(root=kitti_tree)
+    train = RangeImageDataset(cfg, train=True)
+    test = RangeImageDataset(cfg, train=False)
+    assert len(train) == 6 and len(test) == 6   # 2 drives each, 3 scans
+    s = train[0]
+    assert s["jpg"].shape == (64, 1024, 2)
+    assert s["mask"].shape == (64, 1024)
+    assert s["jpg"].dtype == np.float32
+
+
+def test_caching_round_trip(kitti_tree):
+    cfg = DatasetConfig(root=kitti_tree)
+    ds = RangeImageDataset(cfg, train=True)
+    a = ds[1]["jpg"]
+    import os
+    assert os.path.exists(ds._cache_path(ds.files[1]))
+    b = ds[1]["jpg"]      # from cache
+    np.testing.assert_array_equal(a, b)
+
+
+def test_downsample_condition(kitti_tree):
+    cfg = DatasetConfig(root=kitti_tree, downsample=4)
+    ds = RangeImageDataset(cfg, train=True)
+    s = ds[0]
+    # beam stride 4 starting at beam 2 (ldm/dataset.py:344-346)
+    assert s["down"].shape == (16, 1024, 2)
+    np.testing.assert_array_equal(s["down"], s["jpg"][2::4, :, :])
+
+
+def test_inpainting_condition(kitti_tree):
+    cfg = DatasetConfig(root=kitti_tree, inpainting=0.0625)
+    ds = RangeImageDataset(cfg, train=True)
+    s = ds[0]
+    m = s["inpainting_mask"]
+    assert m.shape == (64, 1024, 1)
+    w_masked = int(0.0625 * 1024)
+    assert (m[:, :w_masked, 0] == 1).all()
+    assert (m[:, w_masked:, 0] == -1).all()
+    # masked image carries original pixels outside the mask, -1 inside
+    np.testing.assert_array_equal(
+        s["masked_image"][:, w_masked:, :], s["jpg"][:, w_masked:, :])
+    assert (s["masked_image"][:, :w_masked, :] == -1).all()
+
+
+def test_loader_batching(kitti_tree):
+    cfg = DatasetConfig(root=kitti_tree)
+    ds = RangeImageDataset(cfg, train=True)
+    loader = RangeLoader(ds, batch_size=2, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["jpg"].shape == (2, 64, 1024, 2)
+    # reshuffles across epochs
+    again = list(loader)
+    assert len(again) == 3
+
+
+def test_coord_channel(kitti_tree):
+    cfg = DatasetConfig(root=kitti_tree, coord=True, cache=False)
+    ds = RangeImageDataset(cfg, train=True)
+    s = ds[0]
+    assert s["jpg"].shape == (64, 1024, 3)
+    np.testing.assert_allclose(s["jpg"][:, 0, 2], np.arange(64) / 64,
+                               rtol=1e-6)
