@@ -1,0 +1,106 @@
+"""Evaluation CLI (X1 equivalent of metrics/metric.py).
+
+    python -m rangeldm_tpu.evaluate --exp samples/ --mmd --jsd [--nus]
+    python -m rangeldm_tpu.evaluate --exp runs/up --mae
+    python -m rangeldm_tpu.evaluate --exp samples/ --frd \
+        --rangenet /path/to/darknet53-1024
+
+Reference distribution for KITTI-360 = held-out drives 0000/0002, seed-0
+shuffle, truncated to the generated-sample count (mmd.py:107-119).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import random
+
+import numpy as np
+
+from rangeldm_tpu.metrics.histogram import kitti_histogram, nuscenes_histogram
+from rangeldm_tpu.metrics.jsd import compute_jsd
+from rangeldm_tpu.metrics.mmd import compute_mmd
+
+
+def load_bin(path: str, n_feats: int = 4) -> np.ndarray:
+    return np.fromfile(path, dtype=np.float32).reshape(-1, n_feats)
+
+
+def kitti_reference_files(count: int):
+    root = os.environ.get("KITTI360_DATASET", "")
+    files = glob.glob(root + "/data_3d_raw/2013_05_28_drive_0000_sync/"
+                             "velodyne_points/data/*")
+    files += glob.glob(root + "/data_3d_raw/2013_05_28_drive_0002_sync/"
+                              "velodyne_points/data/*")
+    random.Random(0).shuffle(files)
+    return files[:count]
+
+
+def nuscenes_reference_files(count: int):
+    root = os.environ.get("NUSCENES_DATASET", "")
+    with open(os.path.join(root, "v1.0-test/sample_data.json")) as f:
+        sample_data = json.load(f)
+    files = [os.path.join(root, x["filename"]) for x in sample_data
+             if "sweeps/LIDAR_TOP" in x["filename"]]
+    random.Random(0).shuffle(files)
+    return files[:count]
+
+
+def histograms(files, hist_fn, n_feats: int = 4):
+    return [hist_fn(load_bin(f, n_feats)) for f in files]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", required=True, help="generated sample dir")
+    ap.add_argument("--mmd", action="store_true")
+    ap.add_argument("--jsd", action="store_true")
+    ap.add_argument("--frd", action="store_true")
+    ap.add_argument("--mae", action="store_true")
+    ap.add_argument("--inpainting_mae", action="store_true")
+    ap.add_argument("--nus", action="store_true")
+    ap.add_argument("--rangenet", default=None,
+                    help="darknet53-1024 checkpoint dir for --frd")
+    ap.add_argument("--limit", type=int, default=1000)
+    args = ap.parse_args(argv)
+
+    results = {}
+    sample_files = sorted(glob.glob(os.path.join(args.exp, "*.bin")))
+    if args.nus:
+        sample_files = sample_files[:args.limit]
+    hist_fn = nuscenes_histogram if args.nus else kitti_histogram
+    ref_fn = nuscenes_reference_files if args.nus else kitti_reference_files
+    ref_feats = 5 if args.nus else 4
+
+    if args.mmd or args.jsd:
+        gen_h = histograms(sample_files, hist_fn)
+        ref_h = histograms(ref_fn(len(sample_files)), hist_fn, ref_feats)
+        if args.mmd:
+            results["mmd"] = compute_mmd(ref_h, gen_h)
+        if args.jsd:
+            results["jsd"] = compute_jsd(ref_h, gen_h)
+
+    if args.frd:
+        from rangeldm_tpu.metrics.frd_pipeline import compute_frd_for_dirs
+        results["frd"] = compute_frd_for_dirs(
+            args.exp, ref_fn(args.limit), args.rangenet)
+
+    if args.mae or args.inpainting_mae:
+        from rangeldm_tpu.metrics.mae import densification_mae, inpainting_mae
+        res = np.stack([np.load(f) for f in sorted(glob.glob(
+            os.path.join(args.exp, "densification_result", "*.npy")))])
+        tgt = np.stack([np.load(f) for f in sorted(glob.glob(
+            os.path.join(args.exp, "densification_target", "*.npy")))])
+        if args.mae:
+            results.update(densification_mae(res, tgt))
+        if args.inpainting_mae:
+            results["inpainting_mae"] = inpainting_mae(res, tgt)
+
+    print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -256,6 +256,13 @@ class VaeUpsample(nn.Module):
         return x
 
 
+def pixel_unshuffle_azimuth(x: jnp.ndarray, factor: int = 4) -> jnp.ndarray:
+    """Function form of PixelUnshuffleAzimuth (parameter-free)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // factor, factor, c).reshape(
+        b, h, w // factor, factor * c)
+
+
 class PixelUnshuffleAzimuth(nn.Module):
     """SparseRangeImageEncoder2 (ldm/encoders.py:86-95): parameter-free
     azimuth pixel-unshuffle (B, H, W, C) -> (B, H, W/factor, C*factor).

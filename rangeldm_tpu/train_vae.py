@@ -1,0 +1,184 @@
+"""VAE training CLI (T4 equivalent of vae/main.py).
+
+    python -m rangeldm_tpu.train_vae --cfg rangeldm_tpu/configs/vae_kitti360.yaml
+
+Per batch, one generator step then one discriminator step (the explicit form
+of the engine's two-optimizer training_step, autoencoder.py:186-221; PL
+version quirks noted in SURVEY.md section 3.3). LR scaling follows
+vae/main.py:846-873: lr = accum * n_devices * batch_size * base_lr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rangeldm_tpu.models.discriminator import (
+    NLayerDiscriminator, NLayerDiscriminatorMetaKernel,
+)
+from rangeldm_tpu.models.vae import AutoencoderKL, VaeConfig
+from rangeldm_tpu.parallel.mesh import (
+    data_sharding, make_mesh, replicated, shard_batch,
+)
+from rangeldm_tpu.training.checkpoint import TrainCheckpointer
+from rangeldm_tpu.training.vae_trainer import (
+    VaeLossConfig, create_vae_gan_state, make_disc_apply, make_vae_gan_steps,
+)
+from rangeldm_tpu.utils.cache import enable_compilation_cache, init_on_cpu
+from rangeldm_tpu.utils.config import Cfg, load_config
+
+
+class VaeTrainer:
+    def __init__(self, cfg: Cfg, mesh=None):
+        enable_compilation_cache()
+        self.cfg = cfg
+        self.mesh = mesh or make_mesh()
+        vcfg = cfg.get("vae", {})
+        self.vae_cfg = VaeConfig(
+            ch=int(vcfg.get("ch", 64)),
+            ch_mult=tuple(vcfg.get("ch_mult", (1, 2, 4))),
+            z_channels=int(vcfg.get("z_channels", 4)),
+            act=vcfg.get("act", "silu"),
+            circular=bool(vcfg.get("circular", True)))
+        self.vae = AutoencoderKL(self.vae_cfg)
+
+        lcfg = cfg.get("loss", {})
+        self.loss_cfg = VaeLossConfig(
+            disc_start=int(lcfg.get("disc_start", 200000)),
+            disc_weight=float(lcfg.get("disc_weight", 0.5)),
+            range_weight=float(lcfg.get("range_weight", 40.0)),
+            intensity_weight=float(lcfg.get("intensity_weight", 10.0)),
+            kl_weight=float(lcfg.get("kl_weight", 1e-6)))
+        spec = cfg.get("data", {})
+        if lcfg.get("metakernel", True):
+            self.disc = NLayerDiscriminatorMetaKernel(
+                range_mean=float(spec.get("mean", 20.0)),
+                range_std=float(spec.get("std", 40.0)))
+        else:
+            self.disc = NLayerDiscriminator(
+                ndf=int(lcfg.get("disc_ndf", 64)))
+
+        bs = int(cfg.get("batch_size", 16))
+        base_lr = float(cfg.get("base_learning_rate", 4.5e-6))
+        n_dev = len(self.mesh.devices.ravel())
+        lr = base_lr * bs * n_dev if cfg.get("scale_lr", True) else base_lr
+        self.gen_tx = optax.adam(lr)
+        self.disc_tx = optax.adam(lr)
+
+        h, w = cfg.get("image_size", (64, 1024))
+        x0 = np.zeros((1, h, w, 2), np.float32)
+        vae_params = init_on_cpu(self.vae.init,
+                                 {"params": jax.random.PRNGKey(0)}, x0,
+                                 rng=jax.random.PRNGKey(1))
+        disc_vars = init_on_cpu(self.disc.init, jax.random.PRNGKey(2), x0)
+        state = create_vae_gan_state(vae_params, disc_vars, self.gen_tx,
+                                     self.disc_tx, self.loss_cfg)
+
+        repl = replicated(self.mesh)
+        self._repl = repl
+        self.state = jax.device_put(state, repl)
+
+        gen_step, disc_step = make_vae_gan_steps(
+            self.vae, make_disc_apply(self.disc), self.gen_tx, self.disc_tx,
+            self.loss_cfg)
+        self.gen_step = jax.jit(gen_step, donate_argnums=(0,))
+        self.disc_step = jax.jit(disc_step, donate_argnums=(0,))
+
+        out = cfg.get("output_dir") or "runs/vae"
+        self.out_dir = out
+        os.makedirs(out, exist_ok=True)
+        self.ckpt = TrainCheckpointer(os.path.join(out, "checkpoints"),
+                                      total_limit=3)
+        self.log_path = os.path.join(out, "train_log.jsonl")
+
+    def resume(self) -> int:
+        restored = self.ckpt.restore(jax.device_get(self.state))
+        if restored is not None:
+            self.state = jax.device_put(restored, self._repl)
+            return int(self.state.step)
+        return 0
+
+    def fit(self, batches, max_steps: Optional[int] = None,
+            log_every: int = 50) -> dict:
+        rng = jax.random.PRNGKey(int(self.cfg.get("seed", 0)))
+        ckpt_every = int(self.cfg.get("checkpoint_every_steps", 1020))
+        last = {}
+        for batch in batches:
+            x = batch["jpg"] if isinstance(batch, dict) else batch
+            x = shard_batch(self.mesh, x)
+            self.state, gm = self.gen_step(self.state, x, rng)
+            self.state, dm = self.disc_step(self.state, x, rng)
+            step = int(self.state.step)
+            if step % log_every == 0 or (max_steps and step >= max_steps):
+                last = {k: float(v) for k, v in {**gm, **dm}.items()}
+                last["step"] = step
+                with open(self.log_path, "a") as f:
+                    f.write(json.dumps(last) + "\n")
+            if step % ckpt_every == 0:
+                self.ckpt.save(step, jax.device_get(self.state))
+            if max_steps and step >= max_steps:
+                break
+        return last
+
+    def save_final(self) -> str:
+        """Write the VAE weights (live + EMA) as an orbax tree plus an
+        sgm-format safetensors export for interchange."""
+        import orbax.checkpoint as ocp
+        from rangeldm_tpu.convert.export import (
+            export_vae_state_dict, save_safetensors,
+        )
+        state = jax.device_get(self.state)
+        path = os.path.join(self.out_dir, "vae_final")
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(os.path.abspath(path) + "/params",
+                  jax.tree.map(np.asarray, state.gen_params["vae"]))
+        ckpt.wait_until_finished()
+        save_safetensors(export_vae_state_dict(state.gen_params["vae"]),
+                         os.path.join(self.out_dir, "vae_sgm.safetensors"))
+        if state.ema_params is not None:
+            save_safetensors(export_vae_state_dict(state.ema_params),
+                             os.path.join(self.out_dir,
+                                          "vae_sgm_ema.safetensors"))
+        return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--max_steps", type=int, default=None)
+    args = ap.parse_args()
+    from rangeldm_tpu.train_ldm import expand_env
+    cfg = Cfg.wrap(expand_env(load_config(args.cfg)))
+
+    from rangeldm_tpu.data.datasets import (
+        DatasetConfig, RangeImageDataset, RangeLoader,
+    )
+    dcfg = cfg.get("data", {})
+    ds = RangeImageDataset(DatasetConfig(
+        root=dcfg.get("root", ""), sensor=dcfg.get("sensor", "kitti360"),
+        used_feature=int(dcfg.get("used_feature", 2)),
+        mean=dcfg.get("mean"), std=dcfg.get("std")), train=True)
+    loader = RangeLoader(ds, batch_size=int(cfg.get("batch_size", 16)))
+
+    trainer = VaeTrainer(cfg)
+    trainer.resume()
+
+    def epochs():
+        while True:
+            yield from loader
+
+    total = int(cfg.get("max_epochs", 1000)) * len(loader)
+    trainer.fit(epochs(), max_steps=args.max_steps or total)
+    trainer.save_final()
+
+
+if __name__ == "__main__":
+    main()

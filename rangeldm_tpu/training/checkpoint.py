@@ -1,0 +1,81 @@
+"""Checkpoint / resume via Orbax (SURVEY.md section 5 checkpoint/resume).
+
+Mirrors the reference's artifact layout semantics:
+  * rolling `checkpoint-{step}` training states with a total limit
+    (accelerator.save_state, ldm/train_unconditional.py:560-585)
+  * a final pipeline directory with unet / unet_ema / vae params + configs
+    (pipeline.save_pretrained, :654-682) — ours stores orbax trees plus a
+    JSON config; convert/export.py can emit diffusers-compatible
+    safetensors for interchange.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class TrainCheckpointer:
+    def __init__(self, directory: str, total_limit: int = 10):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=total_limit, create=True,
+                step_prefix="checkpoint"),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self.manager.save(step, args=ocp.args.StandardSave(state))
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self.manager.restore(
+            step, args=ocp.args.StandardRestore(state_template))
+
+
+def save_pipeline(directory: str, *, unet_params, unet_cfg,
+                  vae_params=None, vae_cfg=None, ema_params=None,
+                  schedule_cfg=None, extra: Optional[Dict] = None) -> None:
+    """Final artifact directory: {unet, unet_ema, vae}/ orbax trees +
+    config.json per component (the save_pretrained equivalent)."""
+    import dataclasses
+    os.makedirs(directory, exist_ok=True)
+    ckpt = ocp.StandardCheckpointer()
+
+    def dump(name, params, cfg):
+        path = os.path.join(directory, name)
+        ckpt.save(os.path.abspath(path) + "/params",
+                  jax.tree.map(np.asarray, params))
+        if cfg is not None:
+            with open(os.path.join(directory, name, "config.json"), "w") as f:
+                json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+
+    dump("unet", unet_params, unet_cfg)
+    if ema_params is not None:
+        dump("unet_ema", ema_params, unet_cfg)
+    if vae_params is not None:
+        dump("vae", vae_params, vae_cfg)
+    meta = {"schedule": dataclasses.asdict(schedule_cfg) if schedule_cfg else None}
+    meta.update(extra or {})
+    with open(os.path.join(directory, "model_index.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    ckpt.wait_until_finished()
+
+
+def load_pipeline_component(directory: str, name: str, template) -> Any:
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(os.path.abspath(os.path.join(directory, name, "params")),
+                        template)

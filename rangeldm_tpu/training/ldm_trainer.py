@@ -44,17 +44,21 @@ def make_ldm_train_step(unet_apply: Callable,
                         tx: optax.GradientTransformation,
                         cfg: LdmTrainConfig,
                         vae_apply: Optional[Callable] = None,
-                        vae_params: Optional[Any] = None):
+                        vae_params: Optional[Any] = None,
+                        cond_fn: Optional[Callable] = None):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
-    batch: (B, H, W, C) range images (already normalized). If `vae_apply` is
-    given it must be `vae.apply({'params': p}, x, method='encode_moments')`
-    -> moments; the VAE stays frozen (latents are stop-gradient by
-    construction since vae_params are not differentiated).
+    batch: (B, H, W, C) range images (already normalized), or a dict with
+    'jpg' plus condition inputs. If `vae_apply` is given it must be
+    `vae.apply({'params': p}, x, method='encode_moments')` -> moments; the
+    VAE stays frozen (latents are stop-gradient by construction since
+    vae_params are not differentiated). `cond_fn(batch_dict, rng) -> cond`
+    builds per-step conditioning channels concatenated to the noisy input
+    (ldm/train_conditional.py:418-447).
     """
     prediction_type = schedule.cfg.prediction_type
 
-    def loss_fn(params, latents, rng):
+    def loss_fn(params, latents, cond, rng):
         b = latents.shape[0]
         rng_noise, rng_t = jax.random.split(rng)
         noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
@@ -69,6 +73,8 @@ def make_ldm_train_step(unet_apply: Callable,
             raise ValueError(prediction_type)
 
         inp = noisy
+        if cond is not None:
+            inp = jnp.concatenate([inp, cond.astype(inp.dtype)], axis=-1)
         if cfg.pos_encoding:
             pos = make_pos_encoding(b, latents.shape[1], latents.shape[2],
                                     latents.dtype)
@@ -94,11 +100,14 @@ def make_ldm_train_step(unet_apply: Callable,
                 latents = latents * cfg.pixel_scaling
         return latents
 
-    def train_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
+    def train_step(state: TrainState, batch, rng: jax.Array):
+        images = batch["jpg"] if isinstance(batch, dict) else batch
         rng = jax.random.fold_in(rng, state.step)
-        rng_vae, rng_loss = jax.random.split(rng)
-        latents = encode(batch, rng_vae)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, latents, rng_loss)
+        rng_vae, rng_cond, rng_loss = jax.random.split(rng, 3)
+        latents = encode(images, rng_vae)
+        cond = cond_fn(batch, rng_cond) if cond_fn is not None else None
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, latents, cond,
+                                                  rng_loss)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         step = state.step + 1
@@ -119,23 +128,31 @@ def make_ldm_train_step(unet_apply: Callable,
         def train_step(state, batch, rng):  # noqa: F811
             """Microbatch accumulation via lax.scan (the reference's
             accelerate.accumulate, ldm/train_unconditional.py:503)."""
+            images = batch["jpg"] if isinstance(batch, dict) else batch
             k = cfg.grad_accum_steps
-            micro = batch.reshape((k, batch.shape[0] // k) + batch.shape[1:])
             rng = jax.random.fold_in(rng, state.step)
-            rng_vae, rng_loss = jax.random.split(rng)
-            latents = encode(micro.reshape(batch.shape), rng_vae)
+            rng_vae, rng_cond, rng_loss = jax.random.split(rng, 3)
+            latents = encode(images, rng_vae)
             latents = latents.reshape(
-                (k, batch.shape[0] // k) + latents.shape[1:])
+                (k, images.shape[0] // k) + latents.shape[1:])
+            cond = cond_fn(batch, rng_cond) if cond_fn is not None else None
+            if cond is not None:
+                cond = cond.reshape((k, images.shape[0] // k) + cond.shape[1:])
+            else:
+                cond = jnp.zeros((k,), jnp.float32)  # scan placeholder
 
             def body(acc, xs):
-                lat, r = xs
-                loss, grads = jax.value_and_grad(loss_fn)(state.params, lat, r)
+                lat, cd, r = xs
+                cd = cd if cond_fn is not None else None
+                loss, grads = jax.value_and_grad(loss_fn)(state.params, lat,
+                                                          cd, r)
                 acc_g, acc_l = acc
                 return (jax.tree.map(jnp.add, acc_g, grads), acc_l + loss), None
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
             keys = jax.random.split(rng_loss, k)
-            (grads, loss), _ = jax.lax.scan(body, (zero, 0.0), (latents, keys))
+            (grads, loss), _ = jax.lax.scan(body, (zero, 0.0),
+                                            (latents, cond, keys))
             grads = jax.tree.map(lambda g: g / k, grads)
             loss = loss / k
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
