@@ -114,7 +114,11 @@ class RangeImageDataset:
                 img, mask, cw = z["jpg"], z["mask"], z["car_window_mask"]
         else:
             pts = self._load_points(path)
-            img, mask, cw = range_image_np(pts, self.spec)
+            from rangeldm_tpu import native
+            if native.available():
+                img, mask, cw = native.range_image_native(pts, self.spec)
+            else:
+                img, mask, cw = range_image_np(pts, self.spec)
             if self.cfg.cache:
                 Path(cache).parent.mkdir(parents=True, exist_ok=True)
                 np.savez_compressed(cache, jpg=img, mask=mask,

@@ -1,0 +1,55 @@
+"""Native C++ projection core: exact parity with the numpy path."""
+
+import time
+
+import numpy as np
+import pytest
+
+from rangeldm_tpu.geometry import get_spec, range_image_np
+from rangeldm_tpu import native
+from conftest import synthetic_scan
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no native toolchain")
+
+
+@pytest.mark.parametrize("sensor", ["kitti360", "kitti360_vanilla"])
+def test_native_matches_numpy(rng, sensor):
+    spec = get_spec(sensor)
+    pc = synthetic_scan(rng, n=30000)
+    img_n, mask_n, cw_n = native.range_image_native(pc, spec)
+    img_p, mask_p, cw_p = range_image_np(pc, spec)
+    np.testing.assert_allclose(img_n, img_p, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(mask_n, mask_p)
+    np.testing.assert_array_equal(cw_n, cw_p)
+
+
+def test_native_ring_mode(rng):
+    spec = get_spec("nuscenes")
+    pc = synthetic_scan(rng, n=10000, n_beams=32, with_ring=True)
+    img_n, _, _ = native.range_image_native(pc, spec)
+    img_p, _, _ = range_image_np(pc, spec)
+    np.testing.assert_allclose(img_n, img_p, rtol=1e-5, atol=1e-5)
+
+
+def test_native_log_encoding(rng):
+    spec = get_spec("kitti360", log=True)
+    pc = synthetic_scan(rng, n=10000)
+    img_n, _, _ = native.range_image_native(pc, spec)
+    img_p, _, _ = range_image_np(pc, spec)
+    np.testing.assert_allclose(img_n, img_p, rtol=1e-5, atol=1e-5)
+
+
+def test_native_faster_than_numpy(rng):
+    spec = get_spec("kitti360")
+    pc = synthetic_scan(rng, n=120000)
+    native.range_image_native(pc, spec)  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        native.range_image_native(pc, spec)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        range_image_np(pc, spec)
+    t_numpy = time.perf_counter() - t0
+    assert t_native < t_numpy  # typically 5-20x
