@@ -18,43 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rangeldm_tpu.geometry.laserscan import laserscan_project
 from rangeldm_tpu.metrics.frd import compute_frd
 from rangeldm_tpu.metrics.rangenet import (
     KITTI_IMG_MEANS, KITTI_IMG_STDS, RangeNet, convert_rangenet_state_dict,
     preprocess_scan,
 )
-
-
-def laserscan_project(points: np.ndarray, remissions: np.ndarray,
-                      h: int = 64, w: int = 1024,
-                      fov_up_deg: float = 3.0, fov_down_deg: float = -25.0):
-    """semantic-kitti LaserScan.do_range_projection (histogram.py:210-270):
-    floor binning, clamp, descending-depth ordering so the nearest point
-    wins. Returns (proj_range, proj_xyz, proj_remission, proj_mask)."""
-    fov_up = fov_up_deg / 180.0 * np.pi
-    fov_down = fov_down_deg / 180.0 * np.pi
-    fov = abs(fov_down) + abs(fov_up)
-
-    depth = np.linalg.norm(points, 2, axis=1)
-    yaw = -np.arctan2(points[:, 1], points[:, 0])
-    pitch = np.arcsin(points[:, 2] / np.maximum(depth, 1e-12))
-
-    px = np.floor(0.5 * (yaw / np.pi + 1.0) * w)
-    px = np.clip(px, 0, w - 1).astype(np.int32)
-    py = np.floor((1.0 - (pitch + abs(fov_down)) / fov) * h)
-    py = np.clip(py, 0, h - 1).astype(np.int32)
-
-    order = np.argsort(depth)[::-1]
-    proj_range = np.full((h, w), -1, np.float32)
-    proj_xyz = np.full((h, w, 3), -1, np.float32)
-    proj_rem = np.full((h, w), -1, np.float32)
-    proj_idx = np.full((h, w), -1, np.int32)
-    proj_range[py[order], px[order]] = depth[order]
-    proj_xyz[py[order], px[order]] = points[order]
-    proj_rem[py[order], px[order]] = remissions[order]
-    proj_idx[py[order], px[order]] = np.arange(len(depth))[order]
-    proj_mask = (proj_idx > 0).astype(np.float32)
-    return proj_range, proj_xyz, proj_rem, proj_mask
 
 
 def load_rangenet(model_dir: str):

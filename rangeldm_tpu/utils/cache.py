@@ -26,7 +26,20 @@ def enable_compilation_cache(cache_dir: str = DEFAULT_DIR) -> None:
 
 def init_on_cpu(init_fn, *args, **kwargs):
     """Run a flax `init` eagerly on the host CPU backend (fast, avoids
-    per-op dispatch over the TPU tunnel), returning host arrays."""
+    per-op dispatch over the TPU tunnel), returning host arrays.
+
+    All array arguments (including PRNGKeys) are moved to CPU first —
+    eager ops follow their operands' device, so a TPU-resident key would
+    silently drag the whole init onto the accelerator one op at a time.
+    """
     cpu = jax.devices("cpu")[0]
+
+    def to_cpu(x):
+        if isinstance(x, jax.Array):
+            return jax.device_put(x, cpu)
+        return x
+
+    args = jax.tree.map(to_cpu, args)
+    kwargs = jax.tree.map(to_cpu, kwargs)
     with jax.default_device(cpu):
         return init_fn(*args, **kwargs)
