@@ -110,6 +110,15 @@ class VaeTrainer:
             log_every: int = 50) -> dict:
         rng = jax.random.PRNGKey(int(self.cfg.get("seed", 0)))
         ckpt_every = int(self.cfg.get("checkpoint_every_steps", 1020))
+        image_logger = None
+        if self.cfg.get("log_images_every"):
+            from rangeldm_tpu.training.image_logger import ImageLogger
+            spec = self.cfg.get("data", {})
+            image_logger = ImageLogger(
+                os.path.join(self.out_dir, "images"),
+                every=int(self.cfg.log_images_every),
+                mean=float(spec.get("mean", 20.0)),
+                std=float(spec.get("std", 40.0)))
         last = {}
         for batch in batches:
             x = batch["jpg"] if isinstance(batch, dict) else batch
@@ -117,6 +126,12 @@ class VaeTrainer:
             self.state, gm = self.gen_step(self.state, x, rng)
             self.state, dm = self.disc_step(self.state, x, rng)
             step = int(self.state.step)
+            if image_logger is not None and image_logger.should_log(step):
+                xrec, _, _ = self.vae.apply(
+                    {"params": self.state.gen_params["vae"]}, x,
+                    rng=jax.random.PRNGKey(step))
+                image_logger.log(step, inputs=jax.device_get(x),
+                                 reconstructions=jax.device_get(xrec))
             if step % log_every == 0 or (max_steps and step >= max_steps):
                 last = {k: float(v) for k, v in {**gm, **dm}.items()}
                 last["step"] = step

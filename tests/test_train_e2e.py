@@ -146,3 +146,26 @@ def test_train_inpainting_conditional(rng, tmp_path):
         assert np.isfinite(last["loss"])
     finally:
         zoo.ZOO["tiny_upsample"] = lambda: TINY_UPSAMPLE
+
+
+def test_vae_trainer_cli_class(rng, tmp_path):
+    from rangeldm_tpu.train_vae import VaeTrainer
+    cfg = Cfg.wrap({
+        "output_dir": str(tmp_path / "vae"),
+        "image_size": (16, 64), "batch_size": 8,
+        "vae": {"ch": 32, "ch_mult": (1, 2), "z_channels": 4},
+        "loss": {"disc_start": 100, "metakernel": True},
+        "log_images_every": 2,
+        "checkpoint_every_steps": 2,
+    })
+    tr = VaeTrainer(cfg)
+    last = tr.fit(batches(rng, 3, hw=(16, 64)), max_steps=3, log_every=1)
+    assert np.isfinite(last["total_loss"])
+    assert np.isfinite(last["disc_loss"])
+    import glob as g
+    assert g.glob(str(tmp_path / "vae" / "images" / "*.png"))
+    path = tr.save_final()
+    assert os.path.exists(str(tmp_path / "vae" / "vae_sgm.safetensors"))
+    # resume restores step
+    tr2 = VaeTrainer(cfg)
+    assert tr2.resume() >= 2
