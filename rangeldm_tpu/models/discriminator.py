@@ -198,4 +198,7 @@ class NLayerDiscriminatorMetaKernel(nn.Module):
         idx += 3
         y, _ = MetaKernel(1, azi, inc, stride=1, dtype=self.dtype,
                           name=f"main_{idx}")(h, r)
+        assert y.shape[1] > 0 and y.shape[2] > 0, (
+            f"input {x.shape} too small for a {self.n_layers}-layer "
+            "MetaKernel discriminator (logits collapsed to zero size)")
         return y

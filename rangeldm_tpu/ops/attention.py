@@ -71,6 +71,33 @@ def fused_attention_t(qt: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
     )(qt, kt, vt)
 
 
+def _plain_attention_t(qt, kt, vt, scale):
+    """Reference math on the transposed layout (for the custom-VJP
+    backward; recompute-based, numerically identical to the kernel)."""
+    logits = jnp.einsum("ndt,nds->nts", qt, kt).astype(jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+    return jnp.einsum("nds,nts->ndt", vt, p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attention_ad(qt, kt, vt, scale):
+    return fused_attention_t(qt, kt, vt, scale=scale)
+
+
+def _fused_ad_fwd(qt, kt, vt, scale):
+    return fused_attention_t(qt, kt, vt, scale=scale), (qt, kt, vt)
+
+
+def _fused_ad_bwd(scale, res, g):
+    qt, kt, vt = res
+    _, vjp = jax.vjp(lambda a, b, c: _plain_attention_t(a, b, c, scale),
+                     qt, kt, vt)
+    return vjp(g)
+
+
+_fused_attention_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
+
+
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """(N, T, D) q/k/v -> (N, T, D). Scale is D^-0.5 on the unpadded head
@@ -94,7 +121,11 @@ def attention_mh_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return (u.reshape(b, t, n_heads, hd).transpose(0, 2, 3, 1)
                 .reshape(b * n_heads, hd, t))
 
-    ot = fused_attention_t(split_t(q), split_t(k), split_t(v),
-                           scale=hd ** -0.5, interpret=interpret)
+    if interpret:
+        ot = fused_attention_t(split_t(q), split_t(k), split_t(v),
+                               scale=hd ** -0.5, interpret=True)
+    else:
+        ot = _fused_attention_ad(split_t(q), split_t(k), split_t(v),
+                                 float(hd ** -0.5))
     return (ot.reshape(b, n_heads, hd, t).transpose(0, 3, 1, 2)
             .reshape(b, t, c))

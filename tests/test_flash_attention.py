@@ -40,3 +40,28 @@ def test_fused_attention_bf16(rng):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(expect, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_backward_reference_matches_einsum_grad(rng):
+    """The custom-VJP backward recomputes via _plain_attention_t; its grads
+    must equal the einsum path's grads."""
+    from rangeldm_tpu.ops.attention import _plain_attention_t
+
+    q = jnp.asarray(rng.standard_normal((3, 8, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 8, 16)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((3, 8, 16)).astype(np.float32))
+    scale = 8 ** -0.5
+
+    def loss_t(q, k, v):
+        return jnp.sum(_plain_attention_t(q, k, v, scale) ** 2)
+
+    def loss_ref(q, k, v):
+        qq, kk, vv = (u.swapaxes(1, 2) for u in (q, k, v))
+        o = attention_mh(qq, kk, vv, 1)
+        return jnp.sum(o ** 2)
+
+    g1 = jax.grad(loss_t, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -152,14 +152,14 @@ def test_vae_trainer_cli_class(rng, tmp_path):
     from rangeldm_tpu.train_vae import VaeTrainer
     cfg = Cfg.wrap({
         "output_dir": str(tmp_path / "vae"),
-        "image_size": (16, 64), "batch_size": 8,
+        "image_size": (32, 64), "batch_size": 8,
         "vae": {"ch": 32, "ch_mult": (1, 2), "z_channels": 4},
         "loss": {"disc_start": 100, "metakernel": True},
         "log_images_every": 2,
         "checkpoint_every_steps": 2,
     })
     tr = VaeTrainer(cfg)
-    last = tr.fit(batches(rng, 3, hw=(16, 64)), max_steps=3, log_every=1)
+    last = tr.fit(batches(rng, 3, hw=(32, 64)), max_steps=3, log_every=1)
     assert np.isfinite(last["total_loss"])
     assert np.isfinite(last["disc_loss"])
     import glob as g
