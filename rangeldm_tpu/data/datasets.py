@@ -88,10 +88,19 @@ class RangeImageDataset:
             files = [os.path.join(cfg.root, x["filename"]) for x in sample_data
                      if "sweeps/LIDAR_TOP" in x["filename"]]
             return sorted(files)
+        if cfg.sensor == "stf":
+            # ImageSets split lists -> lidar_hdl64_strongest/*.bin
+            # (vae/sgm/data/STF_range_image.py:70-85)
+            split = "train" if self.train else "val"
+            split_file = os.path.join(cfg.root, "ImageSets", f"{split}.txt")
+            with open(split_file) as f:
+                names = [x.strip().replace(",", "_") for x in f if x.strip()]
+            return [os.path.join(cfg.root, "lidar_hdl64_strongest", n + ".bin")
+                    for n in names]
         raise ValueError(cfg.sensor)
 
     def _load_points(self, path: str) -> np.ndarray:
-        if self.cfg.sensor == "nuscenes":
+        if self.cfg.sensor in ("nuscenes", "stf"):
             pts = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
             pts[:, 3] /= 255.0       # ldm/nuscenes_range_image.py:78
             return pts
@@ -100,6 +109,9 @@ class RangeImageDataset:
     def _cache_path(self, path: str) -> str:
         if self.cfg.sensor == "nuscenes":
             return path.replace("sweeps", "sweeps_range").replace(".bin", ".npz")
+        if self.cfg.sensor == "stf":
+            return path.replace("lidar_hdl64", "lidar_range_hdl64").replace(
+                ".bin", ".npz")
         return path.replace("data_3d_raw", "data_3d_range").replace(
             ".bin", ".npz")
 

@@ -83,3 +83,28 @@ def test_coord_channel(kitti_tree):
     assert s["jpg"].shape == (64, 1024, 3)
     np.testing.assert_allclose(s["jpg"][:, 0, 2], np.arange(64) / 64,
                                rtol=1e-6)
+
+
+def test_stf_dataset(tmp_path, rng):
+    from conftest import synthetic_scan
+    root = tmp_path / "stf"
+    (root / "ImageSets").mkdir(parents=True)
+    (root / "lidar_hdl64_strongest").mkdir()
+    names = []
+    for i in range(3):
+        pc = synthetic_scan(rng, n=4000, n_beams=64, with_ring=True)
+        pc[:, 3] *= 255.0
+        name = f"2019-01-01_00-00-0{i},00100"
+        names.append(name)
+        pc.tofile(root / "lidar_hdl64_strongest" /
+                  (name.replace(",", "_") + ".bin"))
+    (root / "ImageSets" / "train.txt").write_text("\n".join(names))
+    (root / "ImageSets" / "val.txt").write_text(names[0])
+
+    cfg = DatasetConfig(root=str(root), sensor="stf")
+    ds = RangeImageDataset(cfg, train=True)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["jpg"].shape == (64, 1024, 2)
+    assert np.isfinite(s["jpg"]).all()
+    assert len(RangeImageDataset(cfg, train=False)) == 1
