@@ -72,11 +72,68 @@ def fused_attention_t(qt: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
 
 
 def _plain_attention_t(qt, kt, vt, scale):
-    """Reference math on the transposed layout (for the custom-VJP
-    backward; recompute-based, numerically identical to the kernel)."""
+    """Reference math on the transposed layout (parity target for the
+    kernels)."""
     logits = jnp.einsum("ndt,nds->nts", qt, kt).astype(jnp.float32) * scale
     p = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
     return jnp.einsum("nds,nts->ndt", vt, p)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                     scale: float, group: int):
+    """Fused backward: recompute p in VMEM, then
+    dv = g p ; dp = g^T v ; dl = p*(dp - rowsum(dp*p)) ; dq = scale*k dl^T ;
+    dk = scale*q dl (all on the (D, T) transposed layout)."""
+    for i in range(group):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        g = g_ref[i]                                       # (D, T)
+        logits = jax.lax.dot_general(
+            q, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale     # (T, S)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)          # f32 (T, S)
+        pl_ = p.astype(v.dtype)
+        dv = jax.lax.dot_general(
+            g, pl_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (D, S)
+        dp = jax.lax.dot_general(
+            g, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (T, S)
+        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dl = (dl * scale).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            k, dl, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (D, T)
+        dk = jax.lax.dot_general(
+            q, dl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (D, S)
+        dq_ref[i] = dq.astype(dq_ref.dtype)
+        dk_ref[i] = dk.astype(dk_ref.dtype)
+        dv_ref[i] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "group"))
+def fused_attention_bwd_t(qt, kt, vt, g, scale: float,
+                          interpret: bool = False, group: int = 16):
+    n, d, t = qt.shape
+    while n % group:
+        group //= 2
+    kernel = functools.partial(_attn_bwd_kernel, scale=float(scale),
+                               group=group)
+    spec = pl.BlockSpec((group, d, t), lambda i: (i, 0, 0),
+                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    shapes = [jax.ShapeDtypeStruct(qt.shape, qt.dtype)] * 3
+    return pl.pallas_call(
+        kernel,
+        grid=(n // group,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=shapes,
+        interpret=interpret,
+    )(qt, kt, vt, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -90,9 +147,7 @@ def _fused_ad_fwd(qt, kt, vt, scale):
 
 def _fused_ad_bwd(scale, res, g):
     qt, kt, vt = res
-    _, vjp = jax.vjp(lambda a, b, c: _plain_attention_t(a, b, c, scale),
-                     qt, kt, vt)
-    return vjp(g)
+    return tuple(fused_attention_bwd_t(qt, kt, vt, g, scale))
 
 
 _fused_attention_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)

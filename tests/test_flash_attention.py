@@ -65,3 +65,24 @@ def test_backward_reference_matches_einsum_grad(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fused_backward_kernel_matches_autodiff(rng):
+    """The backward kernel's (dq, dk, dv) must equal autodiff through the
+    plain transposed attention (interpret mode)."""
+    from rangeldm_tpu.ops.attention import (
+        _plain_attention_t, fused_attention_bwd_t,
+    )
+    qt = jnp.asarray(rng.standard_normal((4, 8, 32)).astype(np.float32))
+    kt = jnp.asarray(rng.standard_normal((4, 8, 32)).astype(np.float32))
+    vt = jnp.asarray(rng.standard_normal((4, 8, 32)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((4, 8, 32)).astype(np.float32))
+    scale = 8 ** -0.5
+
+    _, vjp = jax.vjp(lambda a, b, c: _plain_attention_t(a, b, c, scale),
+                     qt, kt, vt)
+    expect = vjp(g)
+    got = fused_attention_bwd_t(qt, kt, vt, g, scale, interpret=True)
+    for a, b in zip(got, expect):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
