@@ -162,12 +162,53 @@ class LdmTrainer:
                 return int(self.state.step)
         return 0
 
+    def make_sample_fn(self, batch_size: int = 8, num_steps: int = 50):
+        """Jitted sampler over the CURRENT ema (or live) params — the
+        per-epoch sample dump of ldm/train_unconditional.py:597-652.
+        Returned fn(params, rng) -> decoded images (pixel space if no VAE)."""
+        from rangeldm_tpu.pipelines.samplers import ddim_sample, latent_sample
+        h, w = self.spec.unet.sample_size
+        pos = self.train_cfg.pos_encoding
+
+        def sample(params, rng):
+            def unet_fn(x, t):
+                return self.unet.apply({"params": params}, x, t)
+            if self.vae is not None:
+                def vae_decode(z):
+                    return self.vae.apply(self.vae_params, z, method="decode")
+                return latent_sample(
+                    unet_fn, vae_decode, self.schedule, rng,
+                    (batch_size, h, w, self.spec.unet.out_channels),
+                    self.train_cfg.scaling_factor, num_steps=num_steps,
+                    pos_encoding=pos, dtype=self.dtype)
+            return ddim_sample(unet_fn, self.schedule, rng,
+                               (batch_size, h, w, self.spec.unet.out_channels),
+                               num_steps=num_steps, pos_encoding=pos,
+                               dtype=self.dtype)
+
+        return jax.jit(sample)
+
+    def dump_samples(self, step: int, sample_fn=None) -> str:
+        from rangeldm_tpu.training.image_logger import save_range_image_grid
+        if sample_fn is None:
+            sample_fn = self._sample_fn = getattr(
+                self, "_sample_fn", None) or self.make_sample_fn()
+        params = self.state.ema_params if self.state.ema_params is not None \
+            else self.state.params
+        imgs = np.asarray(sample_fn(params, jax.random.PRNGKey(step)),
+                          np.float32)
+        path = os.path.join(self.out_dir, "samples",
+                            f"samples_step{step:08d}.png")
+        save_range_image_grid(imgs, path)
+        return path
+
     def fit(self, batches, max_steps: Optional[int] = None,
             log_every: int = 50) -> dict:
         cfg = self.cfg
         rng = jax.device_put(jax.random.PRNGKey(int(cfg.get("seed", 0))),
                              self._shard_repl)
         ckpt_steps = int(cfg.get("checkpointing_steps", 500))
+        sample_steps = cfg.get("sample_every_steps")
         last = {}
         t0 = time.perf_counter()
         for batch in batches:
@@ -184,6 +225,8 @@ class LdmTrainer:
                     f.write(json.dumps(last) + "\n")
             if step % ckpt_steps == 0:
                 self.ckpt.save(step, jax.device_get(self.state))
+            if sample_steps and step % int(sample_steps) == 0:
+                self.dump_samples(step)
             if max_steps and step >= max_steps:
                 break
         return last

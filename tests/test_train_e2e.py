@@ -169,3 +169,16 @@ def test_vae_trainer_cli_class(rng, tmp_path):
     # resume restores step
     tr2 = VaeTrainer(cfg)
     assert tr2.resume() >= 2
+
+
+def test_sample_dump_during_training(rng, tmp_path):
+    from rangeldm_tpu.train_ldm import LdmTrainer
+    cfg = Cfg.wrap({
+        "model": "tiny_test", "output_dir": str(tmp_path / "dump"),
+        "use_ema": True, "with_vae": True,
+        "checkpointing_steps": 100, "sample_every_steps": 2,
+    })
+    tr = LdmTrainer(cfg)
+    tr._sample_fn = tr.make_sample_fn(batch_size=2, num_steps=2)
+    tr.fit(batches(rng, 2), max_steps=2, log_every=1)
+    assert glob.glob(str(tmp_path / "dump" / "samples" / "*.png"))
