@@ -63,6 +63,9 @@ def main(argv=None):
     ap.add_argument("--nus", action="store_true")
     ap.add_argument("--rangenet", default=None,
                     help="darknet53-1024 checkpoint dir for --frd")
+    ap.add_argument("--encoding", default="linear",
+                    choices=["log", "linear", "none"],
+                    help="range encoding of the --mae dumps")
     ap.add_argument("--limit", type=int, default=1000)
     args = ap.parse_args(argv)
 
@@ -89,14 +92,21 @@ def main(argv=None):
 
     if args.mae or args.inpainting_mae:
         from rangeldm_tpu.metrics.mae import densification_mae, inpainting_mae
-        res = np.stack([np.load(f) for f in sorted(glob.glob(
-            os.path.join(args.exp, "densification_result", "*.npy")))])
-        tgt = np.stack([np.load(f) for f in sorted(glob.glob(
-            os.path.join(args.exp, "densification_target", "*.npy")))])
+        prefix = "densification" if args.mae else "inpainting"
+
+        def load_stack(sub):
+            files = sorted(glob.glob(
+                os.path.join(args.exp, f"{prefix}_{sub}", "*.npy")))
+            arr = np.stack([np.load(f) for f in files])
+            return arr[..., 0] if arr.ndim == 4 else arr    # range channel
+
+        res, tgt = load_stack("result"), load_stack("target")
         if args.mae:
-            results.update(densification_mae(res, tgt))
+            results.update(densification_mae(res, tgt,
+                                             encoding=args.encoding))
         if args.inpainting_mae:
-            results["inpainting_mae"] = inpainting_mae(res, tgt)
+            results["inpainting_mae"] = inpainting_mae(
+                res, tgt, encoding=args.encoding)
 
     print(json.dumps(results))
     return results

@@ -39,14 +39,26 @@ def _resize_beams(img: np.ndarray, factor: int, mode: str) -> np.ndarray:
     raise ValueError(mode)
 
 
+def _decode(v: np.ndarray, encoding: str, mean: float, std: float):
+    if encoding == "log":
+        return _decode_log(v)
+    if encoding == "linear":
+        return v * std + mean
+    return v
+
+
 def densification_mae(results: np.ndarray, targets: np.ndarray,
-                      factor: int = 4, decode_log: bool = True) -> dict:
+                      factor: int = 4, decode_log: bool = True,
+                      encoding: str = None, mean: float = 20.0,
+                      std: float = 40.0) -> dict:
     """MAE of predicted vs target range (decoded meters), plus bicubic and
     nearest beam-upsampling baselines built from the subsampled target
-    (mae.py:45-93). results/targets: (N, H, W) log-encoded range."""
-    if decode_log:
-        results = _decode_log(results)
-        targets = _decode_log(targets)
+    (mae.py:45-93). results/targets: (N, H, W) encoded range; `encoding`
+    overrides the legacy decode_log flag ('log' | 'linear' | 'none')."""
+    if encoding is None:
+        encoding = "log" if decode_log else "none"
+    results = _decode(results, encoding, mean, std)
+    targets = _decode(targets, encoding, mean, std)
     n, h, w = targets.shape
     err_ours = np.abs(results - targets).sum()
     err_bc = 0.0
@@ -61,13 +73,16 @@ def densification_mae(results: np.ndarray, targets: np.ndarray,
 
 
 def inpainting_mae(results: np.ndarray, targets: np.ndarray,
-                   masked_columns: int = 64, decode_log: bool = True) -> float:
+                   masked_columns: int = 64, decode_log: bool = True,
+                   encoding: str = None, mean: float = 20.0,
+                   std: float = 40.0) -> float:
     """MAE over the first `masked_columns` azimuth columns
     (mae.py:95-117; note the reference normalizes by the full image area,
     which we reproduce). results/targets: (N, H, W) with W = azimuth."""
-    if decode_log:
-        results = _decode_log(results)
-        targets = _decode_log(targets)
+    if encoding is None:
+        encoding = "log" if decode_log else "none"
+    results = _decode(results, encoding, mean, std)
+    targets = _decode(targets, encoding, mean, std)
     err = np.abs(results[:, :, :masked_columns] -
                  targets[:, :, :masked_columns]).sum()
     n, h, w = targets.shape

@@ -1,0 +1,116 @@
+"""Conditional sampling CLI (the ldm/inference_conditional.py equivalent).
+
+    python -m rangeldm_tpu.sample_conditional --pipeline runs/up/pipeline \
+        --mode upsample --data $KITTI360_DATASET --out exp/ --samples 100
+
+Writes the triplet layout the MAE metrics consume
+(ldm/inference_conditional.py:141-210): per index i,
+  {mode}_result/{i}.npy   — generated log/normalized range image (H, W, C)
+  {mode}_target/{i}.npy   — ground truth
+  {mode}_input/{i}.npy    — the condition (sparse beams / masked image)
+(.npy instead of torch .pth; evaluate.py --mae reads these.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rangeldm_tpu.data.datasets import DatasetConfig, RangeImageDataset, RangeLoader
+from rangeldm_tpu.models.layers import pixel_unshuffle_azimuth
+from rangeldm_tpu.pipelines.samplers import denoise
+from rangeldm_tpu.sample_ldm import load_pipeline
+from rangeldm_tpu.training.conditions import encode_masked_image_cond
+from rangeldm_tpu.utils.cache import enable_compilation_cache
+
+
+def build_conditional_sampler(pipe, batch_size: int, mode: str,
+                              num_steps: int = 50, factor: int = 4,
+                              dtype=jnp.bfloat16):
+    unet, up = pipe["unet"], pipe["unet_params"]
+    vae, vp = pipe["vae"], pipe["vae_params"]
+    sf = pipe["vae_cfg"].scaling_factor
+    cfg = pipe["unet_cfg"]
+    h, w = cfg.sample_size
+
+    def unet_fn(x, t):
+        return unet.apply(up, x, t)
+
+    @jax.jit
+    def sample(rng, cond_inputs):
+        if mode == "upsample":
+            cond = pixel_unshuffle_azimuth(
+                cond_inputs["down"].astype(dtype), factor)
+        else:
+            rng, sub = jax.random.split(rng)
+            cond = encode_masked_image_cond(
+                vae, vp, sf, cond_inputs["masked_image"].astype(dtype),
+                cond_inputs["inpainting_mask"].astype(dtype), sub)
+        rng, init = jax.random.split(rng)
+        latents = jax.random.normal(
+            init, (batch_size, h, w, cfg.out_channels), dtype)
+        latents = denoise(unet_fn, pipe["schedule"], latents, num_steps, rng,
+                          cond=cond)
+        return vae.apply(vp, latents / sf, method="decode")
+
+    return sample
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline", required=True)
+    ap.add_argument("--mode", choices=["upsample", "inpainting"],
+                    required=True)
+    ap.add_argument("--data", default=os.environ.get("KITTI360_DATASET", ""))
+    ap.add_argument("--sensor", default="kitti360")
+    ap.add_argument("--out", default="cond_samples")
+    ap.add_argument("--samples", type=int, default=100)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--factor", type=int, default=4)
+    ap.add_argument("--mask_rate", type=float, default=0.0625)
+    args = ap.parse_args()
+
+    enable_compilation_cache()
+    pipe = load_pipeline(args.pipeline)
+    sample = build_conditional_sampler(pipe, args.batch_size, args.mode,
+                                       args.steps, args.factor)
+
+    prefix = "densification" if args.mode == "upsample" else "inpainting"
+    for sub in ("result", "target", "input"):
+        os.makedirs(os.path.join(args.out, f"{prefix}_{sub}"), exist_ok=True)
+
+    ds = RangeImageDataset(DatasetConfig(
+        root=args.data, sensor=args.sensor,
+        downsample=args.factor if args.mode == "upsample" else None,
+        inpainting=args.mask_rate if args.mode == "inpainting" else None),
+        train=False)
+    loader = RangeLoader(ds, batch_size=args.batch_size, shuffle=True,
+                         seed=0)
+
+    idx = 0
+    for batch in loader:
+        cond_inputs = {k: jnp.asarray(v) for k, v in batch.items()
+                       if k in ("down", "masked_image", "inpainting_mask")}
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), idx)
+        result = np.asarray(sample(rng, cond_inputs), np.float32)
+        for j in range(result.shape[0]):
+            if idx >= args.samples:
+                return
+            np.save(os.path.join(args.out, f"{prefix}_result", f"{idx}.npy"),
+                    result[j])
+            np.save(os.path.join(args.out, f"{prefix}_target", f"{idx}.npy"),
+                    batch["jpg"][j])
+            inp = batch.get("down", batch.get("masked_image"))[j]
+            np.save(os.path.join(args.out, f"{prefix}_input", f"{idx}.npy"),
+                    inp)
+            idx += 1
+    print(f"wrote {idx} conditional samples to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

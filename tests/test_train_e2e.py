@@ -182,3 +182,29 @@ def test_sample_dump_during_training(rng, tmp_path):
     tr._sample_fn = tr.make_sample_fn(batch_size=2, num_steps=2)
     tr.fit(batches(rng, 2), max_steps=2, log_every=1)
     assert glob.glob(str(tmp_path / "dump" / "samples" / "*.png"))
+
+
+def test_conditional_sampler_cli_path(rng, tmp_path):
+    """Upsample-mode conditional sampling through the pipeline artifact."""
+    from rangeldm_tpu.train_ldm import LdmTrainer
+    from rangeldm_tpu.sample_ldm import load_pipeline
+    from rangeldm_tpu.sample_conditional import build_conditional_sampler
+
+    cfg = Cfg.wrap({
+        "model": "tiny_upsample", "output_dir": str(tmp_path / "cup"),
+        "upsample": 2, "use_ema": False, "with_vae": True,
+        "checkpointing_steps": 100,
+    })
+    tr = LdmTrainer(cfg)
+    tr.fit(batches(rng, 1, extra="down"), max_steps=1, log_every=1)
+    path = tr.save_final()
+
+    pipe = load_pipeline(path, dtype=jnp.float32)
+    sampler = build_conditional_sampler(pipe, batch_size=2, mode="upsample",
+                                        num_steps=2, factor=2,
+                                        dtype=jnp.float32)
+    b = next(batches(rng, 1, bs=2, extra="down"))
+    out = np.asarray(sampler(jax.random.PRNGKey(0),
+                             {"down": jnp.asarray(b["down"])}), np.float32)
+    assert out.shape == (2, 8, 64, 2)
+    assert np.isfinite(out).all()
