@@ -79,6 +79,57 @@ def load_pipeline(path: str, dtype=jnp.bfloat16, use_ema: bool = True):
                 vae_params=vae_params, schedule=sched)
 
 
+def load_diffusers_pipeline(path: str, dtype=jnp.bfloat16,
+                            use_ema: bool = True,
+                            image_size=(64, 1024), pos_encoding: bool = True):
+    """Load a *released* RangeLDM pipeline directory (HF diffusers layout:
+    {unet, unet_ema, vae, scheduler}/ with config.json + safetensors,
+    ldm/train_unconditional.py:654-682) into our models — the drop-in path
+    for users of the reference's published checkpoints."""
+    from rangeldm_tpu.convert.diffusers_unet import load_diffusers_unet
+    from rangeldm_tpu.convert.diffusers_vae import load_diffusers_vae
+    from rangeldm_tpu.models.vae import VaeConfig
+
+    which = "unet_ema" if use_ema and os.path.isdir(
+        os.path.join(path, "unet_ema")) else "unet"
+    unet_params, unet_cfg = load_diffusers_unet(os.path.join(path, which))
+    unet_cfg = dataclasses.replace(unet_cfg, circular=True)
+    unet = UNet2D(unet_cfg, dtype=dtype)
+
+    vae = vae_params = vae_cfg = None
+    vae_dir = os.path.join(path, "vae")
+    if os.path.isdir(vae_dir):
+        with open(os.path.join(vae_dir, "config.json")) as f:
+            vcfg = json.load(f)
+        ch = vcfg["block_out_channels"][0]
+        vae_cfg = VaeConfig(
+            in_channels=vcfg.get("in_channels", 2),
+            out_ch=vcfg.get("out_channels", 2),
+            ch=ch,
+            ch_mult=tuple(c // ch for c in vcfg["block_out_channels"]),
+            num_res_blocks=vcfg.get("layers_per_block", 2),
+            z_channels=vcfg.get("latent_channels", 4),
+            scaling_factor=vcfg.get("scaling_factor", 0.18215))
+        vae = AutoencoderKL(vae_cfg, dtype=dtype)
+        vae_params = jax.tree.map(jnp.asarray, load_diffusers_vae(vae_dir))
+
+    sched_cfg = {}
+    sched_path = os.path.join(path, "scheduler", "scheduler_config.json")
+    if os.path.exists(sched_path):
+        with open(sched_path) as f:
+            sched_cfg = json.load(f)
+    sched = Schedule.create(ScheduleConfig(**{
+        k: v for k, v in sched_cfg.items()
+        if k in ScheduleConfig.__dataclass_fields__}))
+
+    unet_params = jax.tree.map(jnp.asarray, unet_params)
+    meta = {"pos_encoding": pos_encoding, "image_size": list(image_size),
+            "source": "diffusers", "schedule": sched_cfg}
+    return dict(meta=meta, unet=unet, unet_cfg=unet_cfg,
+                unet_params=unet_params, vae=vae, vae_cfg=vae_cfg,
+                vae_params=vae_params, schedule=sched)
+
+
 def build_sampler(pipe, batch_size: int, num_steps: int = 50,
                   method: str = "ddim", dtype=jnp.bfloat16):
     unet, params = pipe["unet"], pipe["unet_params"]
@@ -149,7 +200,11 @@ def main():
     args = ap.parse_args()
 
     enable_compilation_cache()
-    pipe = load_pipeline(args.pipeline)
+    if os.path.exists(os.path.join(args.pipeline, "unet",
+                                   "diffusion_pytorch_model.safetensors")):
+        pipe = load_diffusers_pipeline(args.pipeline)   # released HF format
+    else:
+        pipe = load_pipeline(args.pipeline)
     sample = build_sampler(pipe, args.batch_size, args.steps, args.method)
     spec = get_spec(args.sensor)
 

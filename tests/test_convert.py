@@ -218,3 +218,131 @@ def test_diffusers_unet_converter_structure_and_forward(rng):
     y = model.apply(jax.tree.map(jnp.asarray, converted), x, t)
     assert y.shape == (2, 8, 32, 4)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def make_diffusers_vae_state_dict(rng, cfg: VaeConfig):
+    """Enumerate the diffusers AutoencoderKL state dict the reference's
+    converter emits for an attention-free VAE (ldm/convert_vae.py:14-121:
+    no attention keys, no quant convs, DownEncoderBlock2D/UpDecoderBlock2D
+    grammar with decoder block order reversed)."""
+    sd = {}
+    ch, mults, nrb = cfg.ch, cfg.ch_mult, cfg.num_res_blocks
+    n = len(mults)
+
+    def res(prefix, cin, cout):
+        sd[f"{prefix}.norm1.weight"] = rng.standard_normal(cin).astype(np.float32)
+        sd[f"{prefix}.norm1.bias"] = rng.standard_normal(cin).astype(np.float32)
+        sd[f"{prefix}.conv1.weight"] = _conv(rng, cout, cin)
+        sd[f"{prefix}.conv1.bias"] = np.zeros(cout, np.float32)
+        sd[f"{prefix}.norm2.weight"] = rng.standard_normal(cout).astype(np.float32)
+        sd[f"{prefix}.norm2.bias"] = rng.standard_normal(cout).astype(np.float32)
+        sd[f"{prefix}.conv2.weight"] = _conv(rng, cout, cout)
+        sd[f"{prefix}.conv2.bias"] = np.zeros(cout, np.float32)
+        if cin != cout:
+            sd[f"{prefix}.conv_shortcut.weight"] = _conv(rng, cout, cin, 1)
+            sd[f"{prefix}.conv_shortcut.bias"] = np.zeros(cout, np.float32)
+
+    sd["encoder.conv_in.weight"] = _conv(rng, ch, cfg.in_channels)
+    sd["encoder.conv_in.bias"] = np.zeros(ch, np.float32)
+    cin = ch
+    for i, mult in enumerate(mults):
+        cout = ch * mult
+        for j in range(nrb):
+            res(f"encoder.down_blocks.{i}.resnets.{j}",
+                cin if j == 0 else cout, cout)
+        cin = cout
+        if i != n - 1:
+            sd[f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"] = \
+                _conv(rng, cout, cout)
+            sd[f"encoder.down_blocks.{i}.downsamplers.0.conv.bias"] = \
+                np.zeros(cout, np.float32)
+    res("encoder.mid_block.resnets.0", cin, cin)
+    res("encoder.mid_block.resnets.1", cin, cin)
+    sd["encoder.conv_norm_out.weight"] = np.ones(cin, np.float32)
+    sd["encoder.conv_norm_out.bias"] = np.zeros(cin, np.float32)
+    zc = 2 * cfg.z_channels
+    sd["encoder.conv_out.weight"] = _conv(rng, zc, cin)
+    sd["encoder.conv_out.bias"] = np.zeros(zc, np.float32)
+
+    cin = ch * mults[-1]
+    sd["decoder.conv_in.weight"] = _conv(rng, cin, cfg.z_channels)
+    sd["decoder.conv_in.bias"] = np.zeros(cin, np.float32)
+    res("decoder.mid_block.resnets.0", cin, cin)
+    res("decoder.mid_block.resnets.1", cin, cin)
+    for i in range(n):                       # diffusers order (reversed sgm)
+        sgm_level = n - 1 - i
+        cout = ch * mults[sgm_level]
+        for j in range(nrb + 1):
+            res(f"decoder.up_blocks.{i}.resnets.{j}",
+                cin if j == 0 else cout, cout)
+        cin = cout
+        if sgm_level != 0:
+            sd[f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"] = \
+                _conv(rng, cout, cout)
+            sd[f"decoder.up_blocks.{i}.upsamplers.0.conv.bias"] = \
+                np.zeros(cout, np.float32)
+    sd["decoder.conv_norm_out.weight"] = np.ones(cin, np.float32)
+    sd["decoder.conv_norm_out.bias"] = np.zeros(cin, np.float32)
+    sd["decoder.conv_out.weight"] = _conv(rng, cfg.out_ch, cin)
+    sd["decoder.conv_out.bias"] = np.zeros(cfg.out_ch, np.float32)
+    return sd
+
+
+def test_diffusers_vae_converter_structure_and_forward(rng):
+    from rangeldm_tpu.convert.diffusers_vae import (
+        convert_diffusers_vae_state_dict,
+    )
+    cfg = VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4)
+    sd = make_diffusers_vae_state_dict(rng, cfg)
+    converted = {"params": convert_diffusers_vae_state_dict(sd)}
+
+    model = AutoencoderKL(cfg)
+    x = jnp.asarray(rng.standard_normal((1, 16, 64, 2)).astype(np.float32))
+    ref = model.init({"params": jax.random.PRNGKey(0)}, x,
+                     rng=jax.random.PRNGKey(1))
+    assert tree_shapes(ref) == tree_shapes(jax.tree.map(jnp.asarray, converted))
+    xrec, z, moments = model.apply(jax.tree.map(jnp.asarray, converted), x,
+                                   rng=jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(xrec)).all()
+
+
+def test_sgm_and_diffusers_vae_paths_agree(rng):
+    """The same weights loaded via the sgm grammar and via the diffusers
+    grammar (as the reference's converter would emit) must produce identical
+    trees."""
+    from rangeldm_tpu.convert.diffusers_vae import (
+        convert_diffusers_vae_state_dict,
+    )
+    from rangeldm_tpu.convert.export import export_vae_state_dict
+    cfg = VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4)
+    sgm_sd = make_sgm_vae_state_dict(rng, cfg)
+    ours = convert_sgm_vae_state_dict(sgm_sd)
+
+    # re-export to sgm then hand-convert to diffusers via the reference's
+    # key mapping (rename-only for the attention-free case)
+    import re as _re
+
+    def sgm_to_diffusers_key(k):
+        k = _re.sub(r"down\.(\d+)\.block\.(\d+)", r"down_blocks.\1.resnets.\2", k)
+        k = _re.sub(r"down\.(\d+)\.downsample", r"down_blocks.\1.downsamplers.0", k)
+        n = 2
+        m = _re.search(r"up\.(\d+)\.", k)
+        if m:
+            rev = n - 1 - int(m.group(1))
+            k = _re.sub(r"up\.(\d+)\.block\.(\d+)",
+                        rf"up_blocks.{rev}.resnets.\2", k)
+            k = _re.sub(r"up\.(\d+)\.upsample",
+                        rf"up_blocks.{rev}.upsamplers.0", k)
+        k = k.replace("mid.block_1", "mid_block.resnets.0")
+        k = k.replace("mid.block_2", "mid_block.resnets.1")
+        k = k.replace("norm_out", "conv_norm_out")
+        k = k.replace("nin_shortcut", "conv_shortcut")
+        return k
+
+    dif_sd = {sgm_to_diffusers_key(k): v for k, v in sgm_sd.items()
+              if not k.startswith("loss.")}
+    via_diffusers = convert_diffusers_vae_state_dict(dif_sd)
+
+    eq = jax.tree.map(lambda a, b: bool(np.array_equal(a, b)),
+                      ours, via_diffusers)
+    assert all(jax.tree.leaves(eq))
