@@ -208,3 +208,49 @@ def test_conditional_sampler_cli_path(rng, tmp_path):
                              {"down": jnp.asarray(b["down"])}), np.float32)
     assert out.shape == (2, 8, 64, 2)
     assert np.isfinite(out).all()
+
+
+def test_full_stack_integration(rng, tmp_path):
+    """Projection -> VAE latents -> LDM training -> sampling -> inverse
+    projection -> BEV histograms -> MMD/JSD: every subsystem wired together
+    once."""
+    import dataclasses
+    from rangeldm_tpu.train_ldm import LdmTrainer
+    from rangeldm_tpu.geometry import get_spec, range_image_np, to_point_cloud
+    from rangeldm_tpu.metrics.histogram import point_cloud_to_histogram
+    from rangeldm_tpu.metrics.mmd import compute_mmd
+    from rangeldm_tpu.metrics.jsd import compute_jsd
+    from conftest import synthetic_scan
+
+    spec = get_spec("kitti360")
+    tiny_spec = dataclasses.replace(
+        spec, n_beams=8, width=64, height=spec.height[:8],
+        zenith=spec.zenith[:8], grid_sizes=(1, 32, 32))
+
+    # data: project synthetic scans (downsampled to the tiny image)
+    imgs = []
+    for _ in range(8):
+        img, _, _ = range_image_np(synthetic_scan(rng, n=3000), spec)
+        imgs.append(img[::8, ::16])          # (8, 64, 2)
+    data = np.stack(imgs)
+
+    cfg = Cfg.wrap({"model": "tiny_test", "output_dir": str(tmp_path / "fs"),
+                    "use_ema": True, "with_vae": True,
+                    "checkpointing_steps": 1000})
+    tr = LdmTrainer(cfg)
+    tr.fit(iter([{"jpg": data}] * 3), max_steps=3, log_every=1)
+
+    sample_fn = tr.make_sample_fn(batch_size=4, num_steps=3)
+    gen = np.asarray(sample_fn(tr.state.ema_params, jax.random.PRNGKey(0)),
+                     np.float32)
+    assert gen.shape == (4, 8, 64, 2)
+
+    # back-project + metrics
+    gen_pc = np.asarray(to_point_cloud(jnp.asarray(gen), tiny_spec))
+    dat_pc = np.asarray(to_point_cloud(jnp.asarray(data), tiny_spec))
+    gh = [point_cloud_to_histogram(p) for p in gen_pc]
+    dh = [point_cloud_to_histogram(p) for p in dat_pc]
+    mmd = compute_mmd(dh, gh)
+    jsd = compute_jsd(dh, gh)
+    assert np.isfinite(mmd) and np.isfinite(jsd)
+    assert 0 <= jsd <= 1
