@@ -1,0 +1,1 @@
+from rangeldm_tpu.diffusion.schedule import Schedule, ScheduleConfig  # noqa: F401

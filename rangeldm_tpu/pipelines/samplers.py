@@ -41,11 +41,15 @@ def denoise(model_fn: Callable, schedule: Schedule, x: jnp.ndarray,
             num_steps: int, rng: jax.Array, *,
             method: str = "ddim", eta: float = 0.0,
             pos_encoding: Optional[jnp.ndarray] = None,
-            cond: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+            cond: Optional[jnp.ndarray] = None,
+            collect_trajectory: bool = False):
     """Run the full reverse process from x ~ N(0, I).
 
     cond, if given, is concatenated on channels at every step (conditional
     pipelines, ldm/pipelines.py:496-502); pos_encoding likewise (:356-358).
+    With collect_trajectory=True also returns the pre-step state at every
+    timestep, (num_steps, B, H, W, C) — the `final_only=False` feature of
+    LDMPipelineRange (ldm/pipelines.py:350-355).
     """
     ts, ts_prev = _scan_ts(schedule, num_steps)
 
@@ -59,13 +63,16 @@ def denoise(model_fn: Callable, schedule: Schedule, x: jnp.ndarray,
             inp = jnp.concatenate([inp, pos_encoding.astype(inp.dtype)], axis=-1)
         out = model_fn(inp, t)
         rng, sub = jax.random.split(rng)
+        prev = x
         if method == "ddpm":
             x = schedule.ddpm_step(sub, out, t, tp, x)
         else:
             x = schedule.ddim_step(out, t, tp, x, eta=eta, rng=sub)
-        return (x, rng), None
+        return (x, rng), (prev if collect_trajectory else None)
 
-    (x, _), _ = jax.lax.scan(body, (x, rng), (ts, ts_prev))
+    (x, _), traj = jax.lax.scan(body, (x, rng), (ts, ts_prev))
+    if collect_trajectory:
+        return x, traj
     return x
 
 
@@ -97,17 +104,27 @@ def latent_sample(model_fn, vae_decode: Callable, schedule: Schedule,
                   eta: float = 0.0, method: str = "ddim",
                   pos_encoding: bool = True,
                   cond: Optional[jnp.ndarray] = None,
-                  dtype=jnp.float32) -> jnp.ndarray:
+                  final_only: bool = True,
+                  dtype=jnp.float32):
     """Latent diffusion sampling + VAE decode (LDMPipelineRange; conditional
-    when `cond` is provided, LDMUpscalePipelineRange)."""
+    when `cond` is provided, LDMUpscalePipelineRange). final_only=False
+    returns (image, per-step decoded images) — the denoising-trajectory
+    visualization of ldm/pipelines.py:350-355 — with the per-step decodes
+    vmapped over the collected latents instead of interleaved."""
     rng, init = jax.random.split(rng)
     latents = jax.random.normal(init, latent_shape, dtype)
     latents = latents * schedule.init_noise_sigma
     pos = (make_pos_encoding(latent_shape[0], latent_shape[1], latent_shape[2],
                              dtype) if pos_encoding else None)
-    latents = denoise(model_fn, schedule, latents, num_steps, rng,
-                      method=method, eta=eta, pos_encoding=pos, cond=cond)
-    return vae_decode(latents / scaling_factor)
+    out = denoise(model_fn, schedule, latents, num_steps, rng,
+                  method=method, eta=eta, pos_encoding=pos, cond=cond,
+                  collect_trajectory=not final_only)
+    if final_only:
+        return vae_decode(out / scaling_factor)
+    latents, traj = out
+    image = vae_decode(latents / scaling_factor)
+    traj_images = jax.lax.map(lambda z: vae_decode(z / scaling_factor), traj)
+    return image, traj_images
 
 
 def conditional_latent_sample(model_fn, vae_decode, schedule, rng,

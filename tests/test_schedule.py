@@ -155,3 +155,19 @@ def test_pos_encoding_layout():
     assert pos.shape == (2, 16, 256, 1)
     assert pos[:, :, 0, :].min() == 1.0
     assert pos[:, :, 1:, :].max() == 0.0
+
+
+def test_denoise_trajectory_collection():
+    s = Schedule.create()
+
+    def model_fn(x, t):
+        return 0.1 * x
+
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 2))
+    final, traj = denoise(model_fn, s, x0, 5, rng, collect_trajectory=True)
+    assert traj.shape == (5, 2, 4, 8, 2)
+    # first trajectory entry is the initial state; final != last entry
+    np.testing.assert_allclose(np.asarray(traj[0]), np.asarray(x0), rtol=1e-6)
+    only = denoise(model_fn, s, x0, 5, rng)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(only), rtol=1e-6)
