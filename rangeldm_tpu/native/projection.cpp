@@ -70,6 +70,19 @@ void project_scan(const float* pc, int64_t n, int64_t stride,
   std::vector<int32_t> cols(n);
   std::vector<float> ranges(n);
 
+  // Windowed beam search for row_mode 0: per-beam origin heights differ by
+  // <= ~0.1 m, so the exact argmin lies within a few beams of the beam whose
+  // table inclination brackets atan2(h_mid - z, xy). Binary-search the
+  // (monotonically decreasing) incl table, then evaluate the exact error on
+  // a +-4 window — ~8 atan2 per point instead of n_beams. Falls back to a
+  // full scan for very close points where the height spread can shift the
+  // angle by more than the window.
+  const float h_mid = 0.5f * (height[0] + height[n_beams - 1]);
+  float h_spread = 0.0f;
+  for (int b = 0; b < n_beams; ++b) {
+    h_spread = std::max(h_spread, std::fabs(height[b] - h_mid));
+  }
+
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
     const float x = pc[i * stride + 0];
@@ -80,7 +93,27 @@ void project_scan(const float* pc, int64_t n, int64_t stride,
       const float xy = std::sqrt(x * x + y * y);
       float best = 1e30f;
       row = 0;
-      for (int b = 0; b < n_beams; ++b) {
+      // beam-to-beam angular pitch (tables are uniformly-ish spaced)
+      const float pitch =
+          std::fabs(incl[n_beams - 1] - incl[0]) / (n_beams - 1);
+      const bool near = xy < 1e-3f || (h_spread / std::max(xy, 1e-3f)) >
+                                          3.0f * pitch;
+      int lo = 0, hi = n_beams - 1;
+      if (!near) {
+        const float a0 = std::atan2(h_mid - z, xy);
+        // incl is descending in b for these sensors? find the bracketing
+        // index by binary search on whichever ordering holds
+        const bool desc = incl[0] > incl[n_beams - 1];
+        int l = 0, r = n_beams - 1;
+        while (r - l > 1) {
+          const int m = (l + r) / 2;
+          const bool go_right = desc ? (incl[m] > a0) : (incl[m] < a0);
+          if (go_right) l = m; else r = m;
+        }
+        lo = std::max(0, l - 4);
+        hi = std::min(n_beams - 1, r + 4);
+      }
+      for (int b = lo; b <= hi; ++b) {
         const float err = std::fabs(incl[b] - std::atan2(height[b] - z, xy));
         if (err < best) { best = err; row = b; }
       }

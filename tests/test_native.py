@@ -44,12 +44,15 @@ def test_native_faster_than_numpy(rng):
     spec = get_spec("kitti360")
     pc = synthetic_scan(rng, n=120000)
     native.range_image_native(pc, spec)  # warm
-    t0 = time.perf_counter()
-    for _ in range(3):
-        native.range_image_native(pc, spec)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(3):
-        range_image_np(pc, spec)
-    t_numpy = time.perf_counter() - t0
-    assert t_native < t_numpy  # typically 5-20x
+    def best_of(fn, n=3):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_native = best_of(lambda: native.range_image_native(pc, spec))
+    t_numpy = best_of(lambda: range_image_np(pc, spec))
+    # typically 5-20x; leave headroom for loaded CI machines
+    assert t_native < t_numpy, (t_native, t_numpy)
