@@ -92,19 +92,21 @@ def main(argv=None):
 
     if args.mae or args.inpainting_mae:
         from rangeldm_tpu.metrics.mae import densification_mae, inpainting_mae
-        prefix = "densification" if args.mae else "inpainting"
 
-        def load_stack(sub):
+        def load_stack(prefix, sub):
             files = sorted(glob.glob(
                 os.path.join(args.exp, f"{prefix}_{sub}", "*.npy")))
             arr = np.stack([np.load(f) for f in files])
             return arr[..., 0] if arr.ndim == 4 else arr    # range channel
 
-        res, tgt = load_stack("result"), load_stack("target")
         if args.mae:
+            res = load_stack("densification", "result")
+            tgt = load_stack("densification", "target")
             results.update(densification_mae(res, tgt,
                                              encoding=args.encoding))
         if args.inpainting_mae:
+            res = load_stack("inpainting", "result")
+            tgt = load_stack("inpainting", "target")
             results["inpainting_mae"] = inpainting_mae(
                 res, tgt, encoding=args.encoding)
 
