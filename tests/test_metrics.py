@@ -217,3 +217,15 @@ def test_rangenet_converter_structure(rng):
     assert shapes(ref["batch_stats"]) == shapes(converted["batch_stats"])
     feats, logits = m.apply(converted, jnp.zeros((1, 8, 32, 5)))
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_profiling_helpers(tmp_path):
+    from rangeldm_tpu.utils.profiling import (
+        device_memory_stats, maybe_trace, step_annotation,
+    )
+    with maybe_trace(None, enabled=False):
+        pass
+    with step_annotation("unit-test"):
+        _ = jnp.ones((4,)) + 1
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
