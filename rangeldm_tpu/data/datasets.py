@@ -182,7 +182,8 @@ class RangeLoader:
 
     def __init__(self, dataset: RangeImageDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2, num_threads: int = 8):
+                 prefetch: int = 2, num_threads: int = 8,
+                 shard_by_process: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -190,10 +191,22 @@ class RangeLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_threads = num_threads
+        self.shard_by_process = shard_by_process
         self._epoch = 0
 
+    def _order(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        if self.shard_by_process:
+            # multi-host: each process reads a disjoint slice of the epoch
+            # (same seed everywhere so the global permutation agrees)
+            import jax
+            order = order[jax.process_index()::jax.process_count()]
+        return order
+
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._order()) if self.shard_by_process else len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
@@ -201,9 +214,7 @@ class RangeLoader:
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        order = self._order()
         self._epoch += 1
         nb = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

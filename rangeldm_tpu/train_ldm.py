@@ -262,7 +262,8 @@ def main():
         used_feature=int(dcfg.get("used_feature", 2)),
         downsample=cfg.get("upsample"), inpainting=cfg.get("inpainting"),
         mean=dcfg.get("mean"), std=dcfg.get("std")), train=True)
-    loader = RangeLoader(ds, batch_size=int(cfg.get("train_batch_size", 32)))
+    loader = RangeLoader(ds, batch_size=int(cfg.get("train_batch_size", 32),
+                         shard_by_process=jax.process_count() > 1))
 
     trainer = LdmTrainer(cfg)
     start = trainer.resume()

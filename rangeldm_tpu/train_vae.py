@@ -181,7 +181,8 @@ def main():
         root=dcfg.get("root", ""), sensor=dcfg.get("sensor", "kitti360"),
         used_feature=int(dcfg.get("used_feature", 2)),
         mean=dcfg.get("mean"), std=dcfg.get("std")), train=True)
-    loader = RangeLoader(ds, batch_size=int(cfg.get("batch_size", 16)))
+    loader = RangeLoader(ds, batch_size=int(cfg.get("batch_size", 16),
+                         shard_by_process=jax.process_count() > 1))
 
     trainer = VaeTrainer(cfg)
     trainer.resume()
