@@ -143,6 +143,33 @@ class VaeTrainer:
                 break
         return last
 
+    def validate(self, batches, max_batches: int = 50) -> dict:
+        """Reconstruction losses for live and EMA weights (the engine's
+        _validation_step + ema_scope, autoencoder.py:223-256; reference caps
+        at limit_val_batches 50)."""
+        from rangeldm_tpu.training.vae_trainer import reconstruction_loss
+
+        @jax.jit
+        def rec(params, x, rng):
+            xrec, _, _ = self.vae.apply({"params": params}, x, rng=rng)
+            return jnp.mean(reconstruction_loss(x, xrec, self.loss_cfg))
+
+        live = self.state.gen_params["vae"]
+        ema = self.state.ema_params
+        totals = {"val/rec_loss": 0.0, "val/rec_loss_ema": 0.0}
+        n = 0
+        rng = jax.random.PRNGKey(1234)
+        for batch in batches:
+            if n >= max_batches:
+                break
+            x = jnp.asarray(batch["jpg"] if isinstance(batch, dict) else batch)
+            rng, sub = jax.random.split(rng)
+            totals["val/rec_loss"] += float(rec(live, x, sub))
+            if ema is not None:
+                totals["val/rec_loss_ema"] += float(rec(ema, x, sub))
+            n += 1
+        return {k: v / max(n, 1) for k, v in totals.items()}
+
     def save_final(self) -> str:
         """Write the VAE weights (live + EMA) as an orbax tree plus an
         sgm-format safetensors export for interchange."""

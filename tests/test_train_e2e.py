@@ -254,3 +254,19 @@ def test_full_stack_integration(rng, tmp_path):
     jsd = compute_jsd(dh, gh)
     assert np.isfinite(mmd) and np.isfinite(jsd)
     assert 0 <= jsd <= 1
+
+
+def test_vae_validate_live_and_ema(rng, tmp_path):
+    from rangeldm_tpu.train_vae import VaeTrainer
+    cfg = Cfg.wrap({
+        "output_dir": str(tmp_path / "vval"),
+        "image_size": (32, 64), "batch_size": 8,
+        "vae": {"ch": 32, "ch_mult": (1, 2), "z_channels": 4},
+        "loss": {"disc_start": 100, "metakernel": True},
+        "checkpoint_every_steps": 100,
+    })
+    tr = VaeTrainer(cfg)
+    tr.fit(batches(rng, 2, hw=(32, 64)), max_steps=2, log_every=1)
+    out = tr.validate(batches(rng, 2, hw=(32, 64)), max_batches=2)
+    assert np.isfinite(out["val/rec_loss"])
+    assert np.isfinite(out["val/rec_loss_ema"])
