@@ -202,3 +202,59 @@ class NLayerDiscriminatorMetaKernel(nn.Module):
             f"input {x.shape} too small for a {self.n_layers}-layer "
             "MetaKernel discriminator (logits collapsed to zero size)")
         return y
+
+
+class NLayerDiscriminatorMetaKernel2(nn.Module):
+    """Hybrid variant 2 (model.py:268-373): two MetaKernel stages up front,
+    plain zero-padded 4x4 convs for the rest. The KITTI config uses
+    variant 1; this exists for the `metakernel: 2` config path."""
+    ndf: int = 64
+    n_layers: int = 3
+    azi: float = 0.00613592
+    inc: float = 0.0074594
+    log_encoding: bool = False
+    range_mean: float = 20.0
+    range_std: float = 40.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        r = x[..., :1]
+        if self.log_encoding:
+            r = jnp.clip(r, 0.0, 1.2)
+            r = (64.0 ** r - 1.0) / 10.0
+        else:
+            r = (r * self.range_std + self.range_mean) / 10.0
+
+        def conv(ch, stride, name, use_bias=False):
+            return CircularConv(ch, 4, stride, 1, circular=False,
+                                use_bias=use_bias, dtype=self.dtype,
+                                kernel_init=_normal_init, name=name)
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype, name=name,
+                                scale_init=_bn_scale_init)
+
+        azi, inc = self.azi, self.inc
+        h, r = MetaKernel(self.ndf, azi, inc, stride=2, dtype=self.dtype,
+                          name="main_0")(x, r)
+        h = leaky_relu(h)
+        azi, inc = azi * 2, inc * 2
+        h, r = MetaKernel(self.ndf * 2, azi, inc, stride=2, dtype=self.dtype,
+                          name="main_2")(h, r)
+        h = bn("main_3")(h)
+        h = leaky_relu(h)
+        nf, idx = 2, 5
+        for n in range(2, self.n_layers):
+            nf = min(2 ** n, 8)
+            h = conv(self.ndf * nf, 2, f"main_{idx}")(h)
+            h = bn(f"main_{idx + 1}")(h)
+            h = leaky_relu(h)
+            idx += 3
+        nf = min(2 ** self.n_layers, 8)
+        h = conv(self.ndf * nf, 1, f"main_{idx}")(h)
+        h = bn(f"main_{idx + 1}")(h)
+        h = leaky_relu(h)
+        idx += 3
+        return conv(1, 1, f"main_{idx}", use_bias=True)(h)

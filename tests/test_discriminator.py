@@ -114,3 +114,17 @@ def test_metakernel_discriminator_runs(rng):
     # eval mode uses running stats without mutation
     y2 = m.apply(vs, x, train=False)
     assert y2.shape == y.shape
+
+
+def test_metakernel2_hybrid_runs(rng):
+    from rangeldm_tpu.models.discriminator import NLayerDiscriminatorMetaKernel2
+    x = jnp.asarray(rng.standard_normal((2, 64, 128, 2), dtype=np.float32))
+    m = NLayerDiscriminatorMetaKernel2(ndf=16)
+    vs = m.init(jax.random.PRNGKey(0), x)
+    y, _ = m.apply(vs, x, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(y)).all()
+    # same sequential indices as the reference: MK(0), MK(2)+BN(3),
+    # conv(5)+BN(6), conv(8)+BN(9), conv(11)
+    p = vs["params"]
+    for name in ("main_0", "main_2", "main_5", "main_8", "main_11"):
+        assert name in p, sorted(p)
