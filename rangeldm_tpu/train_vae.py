@@ -23,6 +23,7 @@ import optax
 
 from rangeldm_tpu.models.discriminator import (
     NLayerDiscriminator, NLayerDiscriminatorMetaKernel,
+    NLayerDiscriminatorMetaKernel2,
 )
 from rangeldm_tpu.models.vae import AutoencoderKL, VaeConfig
 from rangeldm_tpu.parallel.mesh import (
@@ -58,7 +59,12 @@ class VaeTrainer:
             intensity_weight=float(lcfg.get("intensity_weight", 10.0)),
             kl_weight=float(lcfg.get("kl_weight", 1e-6)))
         spec = cfg.get("data", {})
-        if lcfg.get("metakernel", True):
+        mk = lcfg.get("metakernel", True)
+        if mk == 2:
+            self.disc = NLayerDiscriminatorMetaKernel2(
+                range_mean=float(spec.get("mean", 20.0)),
+                range_std=float(spec.get("std", 40.0)))
+        elif mk:
             self.disc = NLayerDiscriminatorMetaKernel(
                 range_mean=float(spec.get("mean", 20.0)),
                 range_std=float(spec.get("std", 40.0)))
