@@ -50,8 +50,9 @@ def load_rangenet(model_dir: str):
 
 
 def extract_features(model: RangeNet, variables, scans: Iterable[np.ndarray],
-                     batch_size: int = 8) -> np.ndarray:
-    """scans: iterable of (N, 4) point clouds -> (n, 64, 1024, 32)."""
+                     batch_size: int = 8, h: int = 64,
+                     w: int = 1024) -> np.ndarray:
+    """scans: iterable of (N, 4) point clouds -> (n, h, w, 32)."""
     @jax.jit
     def fwd(x):
         feats, _ = model.apply(variables, x)
@@ -67,12 +68,12 @@ def extract_features(model: RangeNet, variables, scans: Iterable[np.ndarray],
         inputs.clear()
 
     for pc in scans:
-        pr, pxyz, prem, pm = laserscan_project(pc[:, :3], pc[:, 3])
+        pr, pxyz, prem, pm = laserscan_project(pc[:, :3], pc[:, 3], h=h, w=w)
         inputs.append(preprocess_scan(pr, pxyz, prem, pm))
         if len(inputs) == batch_size:
             flush()
     flush()
-    return np.concatenate(feats) if feats else np.zeros((0, 64, 1024, 32))
+    return np.concatenate(feats) if feats else np.zeros((0, h, w, 32))
 
 
 def compute_frd_for_dirs(sample_dir: str, reference_files: List[str],

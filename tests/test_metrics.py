@@ -229,3 +229,28 @@ def test_profiling_helpers(tmp_path):
         _ = jnp.ones((4,)) + 1
     stats = device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_frd_pipeline_end_to_end(rng):
+    """LaserScan projection -> RangeNet (random weights) -> seed-0 Frechet:
+    identical scan sets give FRD ~0; disjoint sets give FRD > 0."""
+    from conftest import synthetic_scan
+    from rangeldm_tpu.metrics.frd import compute_frd
+    from rangeldm_tpu.metrics.frd_pipeline import extract_features
+    from rangeldm_tpu.metrics.rangenet import RangeNet
+
+    model = RangeNet(with_head=False)
+    vs = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 5)))
+
+    set_a = [synthetic_scan(rng, n=2000) for _ in range(6)]
+    set_b = [s + np.array([5.0, 0, 0, 0], np.float32) for s in set_a]
+
+    fa = extract_features(model, vs, set_a, batch_size=3, h=16, w=64)
+    fb = extract_features(model, vs, set_b, batch_size=3, h=16, w=64)
+    assert fa.shape == (6, 16, 64, 32)
+
+    same = compute_frd(fa, fa.copy(), n_dims=64)
+    diff = compute_frd(fa, fb, n_dims=64)
+    assert abs(same) < 1e-4
+    assert diff > same
+    assert np.isfinite(diff)
