@@ -82,6 +82,8 @@ def evaluate(vae, params, batches, spec, count: int = 1000,
 
 
 def main():
+    from rangeldm_tpu.utils.cache import honor_jax_platforms_env
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--vae", required=True)
     ap.add_argument("--data", default=os.environ.get("KITTI360_DATASET", ""))

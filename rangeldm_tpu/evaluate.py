@@ -53,6 +53,8 @@ def histograms(files, hist_fn, n_feats: int = 4):
 
 
 def main(argv=None):
+    from rangeldm_tpu.utils.cache import honor_jax_platforms_env
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", required=True, help="generated sample dir")
     ap.add_argument("--mmd", action="store_true")
@@ -60,6 +62,17 @@ def main(argv=None):
     ap.add_argument("--frd", action="store_true")
     ap.add_argument("--mae", action="store_true")
     ap.add_argument("--inpainting_mae", action="store_true")
+    ap.add_argument("--iou", action="store_true",
+                    help="weighted-jaccard IoU over RangeNet segmentations "
+                         "of conditional result vs target dumps")
+    ap.add_argument("--accuracy", action="store_true",
+                    help="pixel accuracy over the same segmentations")
+    ap.add_argument("--cond_prefix", default=None,
+                    choices=["densification", "inpainting"],
+                    help="which triplet dumps --iou/--accuracy read "
+                         "(default: auto-detect)")
+    ap.add_argument("--sensor", default="kitti360",
+                    help="sensor spec used to back-project --iou dumps")
     ap.add_argument("--nus", action="store_true")
     ap.add_argument("--rangenet", default=None,
                     help="darknet53-1024 checkpoint dir for --frd")
@@ -89,6 +102,23 @@ def main(argv=None):
         from rangeldm_tpu.metrics.frd_pipeline import compute_frd_for_dirs
         results["frd"] = compute_frd_for_dirs(
             args.exp, ref_fn(args.limit), args.rangenet)
+
+    if args.iou or args.accuracy:
+        from rangeldm_tpu.metrics.frd_pipeline import (
+            compute_segmentation_scores,
+        )
+        prefix = args.cond_prefix
+        if prefix is None:
+            prefix = "inpainting" if os.path.isdir(
+                os.path.join(args.exp, "inpainting_result")) \
+                else "densification"
+        scores = compute_segmentation_scores(
+            args.exp, prefix, args.rangenet, sensor=args.sensor,
+            limit=args.limit)
+        if args.iou:
+            results["iou"] = scores["iou"]
+        if args.accuracy:
+            results["accuracy"] = scores["accuracy"]
 
     if args.mae or args.inpainting_mae:
         from rangeldm_tpu.metrics.mae import densification_mae, inpainting_mae

@@ -76,6 +76,100 @@ def extract_features(model: RangeNet, variables, scans: Iterable[np.ndarray],
     return np.concatenate(feats) if feats else np.zeros((0, h, w, 32))
 
 
+def extract_labels(model: RangeNet, variables, scans: Iterable[np.ndarray],
+                   batch_size: int = 8, h: int = 64,
+                   w: int = 1024) -> np.ndarray:
+    """scans: iterable of (N, 4) point clouds -> (n, h, w) int32 label maps
+    (the RangeNet head's argmax — the reference's rangenetpp segmentation
+    dump consumed by iou.py; FRD path uses raw argmax, no KNN)."""
+    if not model.with_head:
+        raise ValueError("RangeNet was loaded without a segmentation head")
+
+    @jax.jit
+    def fwd(x):
+        _, logits = model.apply(variables, x)
+        return jnp.argmax(logits, axis=-1)
+
+    inputs, labels = [], []
+
+    def flush():
+        if not inputs:
+            return
+        batch = jnp.asarray(np.stack(inputs))
+        labels.append(np.asarray(fwd(batch), np.int32))
+        inputs.clear()
+
+    for pc in scans:
+        pr, pxyz, prem, pm = laserscan_project(pc[:, :3], pc[:, 3], h=h, w=w)
+        inputs.append(preprocess_scan(pr, pxyz, prem, pm))
+        if len(inputs) == batch_size:
+            flush()
+    flush()
+    return np.concatenate(labels) if labels else np.zeros((0, h, w), np.int32)
+
+
+def _numeric_sorted(files: List[str]) -> List[str]:
+    """{i}.npy dumps in index order (the reference pairs result/target by
+    integer filename, iou.py:10-23)."""
+    def key(f):
+        stem = os.path.splitext(os.path.basename(f))[0]
+        return (0, int(stem)) if stem.isdigit() else (1, stem)
+    return sorted(files, key=key)
+
+
+def _dump_scans(sample_dir: str, prefix: str, sub: str, spec,
+                limit: int, max_depth: float = 90.0):
+    """Load {prefix}_{sub}/{i}.npy normalized range-image dumps
+    (sample_conditional.py triplets), back-project with the training sensor
+    spec, and yield depth-filtered (N, 4) point clouds."""
+    from rangeldm_tpu.geometry.inverse import to_point_cloud
+    files = _numeric_sorted(glob.glob(
+        os.path.join(sample_dir, f"{prefix}_{sub}", "*.npy")))[:limit]
+    if not files:
+        raise FileNotFoundError(
+            f"no dumps under {sample_dir}/{prefix}_{sub}")
+    for f in files:
+        img = np.load(f)
+        if img.ndim == 2:
+            img = img[..., None]
+        pc = np.asarray(to_point_cloud(jnp.asarray(img[None], jnp.float32),
+                                       spec))[0]
+        depth = np.linalg.norm(pc[:, :3], axis=1)
+        pc = pc[(depth > 1e-3) & (depth < max_depth)]
+        if pc.shape[1] == 3:
+            pc = np.concatenate(
+                [pc, np.zeros((len(pc), 1), pc.dtype)], axis=1)
+        yield pc.astype(np.float32)
+
+
+def compute_segmentation_scores(sample_dir: str, prefix: str,
+                                rangenet_dir: Optional[str],
+                                sensor: str = "kitti360",
+                                limit: int = 1000) -> dict:
+    """IoU / accuracy over RangeNet segmentations of conditional result vs
+    target dumps (metric.py:71-97: segment both dump dirs, then weighted
+    jaccard + pixel accuracy over the paired label maps)."""
+    if rangenet_dir is None:
+        raise ValueError("--rangenet checkpoint dir required for IoU")
+    from rangeldm_tpu.geometry import get_spec
+    from rangeldm_tpu.metrics.mae import (
+        segmentation_accuracy, segmentation_iou,
+    )
+    model, variables = load_rangenet(rangenet_dir)
+    spec = get_spec(sensor)
+    res = extract_labels(model, variables,
+                         _dump_scans(sample_dir, prefix, "result", spec,
+                                     limit))
+    tgt = extract_labels(model, variables,
+                         _dump_scans(sample_dir, prefix, "target", spec,
+                                     limit))
+    if res.shape != tgt.shape:
+        raise ValueError(f"result/target dump mismatch: {res.shape} vs "
+                         f"{tgt.shape}")
+    return {"iou": segmentation_iou(res, tgt),
+            "accuracy": segmentation_accuracy(res, tgt)}
+
+
 def compute_frd_for_dirs(sample_dir: str, reference_files: List[str],
                          rangenet_dir: Optional[str],
                          limit: int = 1000) -> float:

@@ -51,6 +51,9 @@ class UNetConfig:
     add_mid_attention: bool = True
     circular: bool = True
     dropout: float = 0.0
+    # None = auto-select the attention implementation per lowering platform
+    # (Pallas fused kernel on TPU, einsum elsewhere); True/False forces it.
+    use_fused_attention: Optional[bool] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -135,7 +138,9 @@ class Attention(nn.Module):
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
         from rangeldm_tpu.ops.attention import attention_mh_fused
         if self.use_fused is True:
-            o = attention_mh_fused(q, k, v, n_heads)
+            # interpret mode off-TPU so the forced-fused path stays testable
+            o = attention_mh_fused(q, k, v, n_heads,
+                                   interpret=jax.default_backend() != "tpu")
         elif self.use_fused is False:
             o = attention_mh(q, k, v, n_heads)
         else:
@@ -185,6 +190,7 @@ class DownBlock2D(nn.Module):
     eps: float = 1e-5
     dropout: float = 0.0
     circular: bool = True
+    use_fused: Optional[bool] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -195,7 +201,8 @@ class DownBlock2D(nn.Module):
                               self.dropout, self.circular, self.dtype,
                               name=f"resnets_{j}")(x, temb, deterministic)
             if self.with_attn:
-                x = Attention(self.head_dim, self.groups, self.eps, self.dtype,
+                x = Attention(self.head_dim, self.groups, self.eps,
+                              use_fused=self.use_fused, dtype=self.dtype,
                               name=f"attentions_{j}")(x)
             skips.append(x)
         if self.add_downsample:
@@ -215,6 +222,7 @@ class UpBlock2D(nn.Module):
     eps: float = 1e-5
     dropout: float = 0.0
     circular: bool = True
+    use_fused: Optional[bool] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -225,7 +233,8 @@ class UpBlock2D(nn.Module):
                               self.dropout, self.circular, self.dtype,
                               name=f"resnets_{j}")(x, temb, deterministic)
             if self.with_attn:
-                x = Attention(self.head_dim, self.groups, self.eps, self.dtype,
+                x = Attention(self.head_dim, self.groups, self.eps,
+                              use_fused=self.use_fused, dtype=self.dtype,
                               name=f"attentions_{j}")(x)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, self.circular, self.dtype,
@@ -241,6 +250,7 @@ class UNetMidBlock2D(nn.Module):
     eps: float = 1e-5
     dropout: float = 0.0
     circular: bool = True
+    use_fused: Optional[bool] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -249,7 +259,8 @@ class UNetMidBlock2D(nn.Module):
                           self.circular, self.dtype,
                           name="resnets_0")(x, temb, deterministic)
         if self.with_attn:
-            x = Attention(self.head_dim, self.groups, self.eps, self.dtype,
+            x = Attention(self.head_dim, self.groups, self.eps,
+                          use_fused=self.use_fused, dtype=self.dtype,
                           name="attentions_0")(x)
         x = ResnetBlock2D(self.channels, self.eps, self.groups, self.dropout,
                           self.circular, self.dtype,
@@ -283,7 +294,7 @@ class UNet2D(nn.Module):
 
         common = dict(head_dim=c.attention_head_dim, groups=c.norm_num_groups,
                       eps=c.norm_eps, dropout=c.dropout, circular=c.circular,
-                      dtype=self.dtype)
+                      use_fused=c.use_fused_attention, dtype=self.dtype)
         skips = [x]
         n = len(c.block_out_channels)
         for i, btype in enumerate(c.down_block_types):

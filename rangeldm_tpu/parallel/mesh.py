@@ -37,9 +37,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host pytree of arrays with the leading axis sharded on 'data'."""
+    """Place a host pytree of arrays with the leading axis sharded on 'data'.
+
+    Single-process: a plain device_put scatter. Multi-process (multi-host
+    TPU): each process holds only its per-process slice of the global batch
+    (RangeLoader(shard_by_process=True) — the accelerate-DDP equivalent,
+    ldm/train_unconditional.py:128-134), so the global array is assembled
+    with `jax.make_array_from_process_local_data`, which places each local
+    shard on the process's addressable devices and records the global shape.
+    device_put would raise on non-addressable devices here.
+    """
+    multiprocess = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        sharding = data_sharding(mesh, np.ndim(x))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
     return jax.tree.map(put, batch)
 
 

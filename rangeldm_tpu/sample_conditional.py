@@ -61,6 +61,8 @@ def build_conditional_sampler(pipe, batch_size: int, mode: str,
 
 
 def main():
+    from rangeldm_tpu.utils.cache import honor_jax_platforms_env
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline", required=True)
     ap.add_argument("--mode", choices=["upsample", "inpainting"],

@@ -188,6 +188,8 @@ def save_outputs(images: np.ndarray, spec, out_dir: str, start_idx: int,
 
 
 def main():
+    from rangeldm_tpu.utils.cache import honor_jax_platforms_env
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline", required=True)
     ap.add_argument("--out", default="samples")

@@ -62,13 +62,37 @@ def load_vae_params(vae: AutoencoderKL, path: Optional[str], image_shape):
     return template
 
 
+def spec_from_cfg(cfg: Cfg):
+    """Resolve the model spec: a zoo name (`model:`), or — the reference's
+    own grammar (ldm/train_unconditional.py:237-242) — an inline
+    `model_config:` dict whose sample_size is [azimuth, beams], plus an
+    optional `vae_config:` dict for the latent autoencoder."""
+    if cfg.get("model_config"):
+        from rangeldm_tpu.models.unet import UNetConfig
+        from rangeldm_tpu.models.vae import VaeConfig
+        from rangeldm_tpu.models.zoo import ModelSpec
+        vae = None
+        if cfg.get("vae_config"):
+            vae = VaeConfig(**{k: tuple(v) if isinstance(v, list) else v
+                               for k, v in dict(cfg.vae_config).items()})
+        unet = UNetConfig.from_reference(dict(cfg.model_config))
+        h, w = unet.sample_size
+        factor = vae.down_factor if vae is not None else 1
+        default_size = (h * factor, w * factor)
+        return ModelSpec(
+            name=cfg.get("model", "custom"), unet=unet, vae=vae,
+            image_size=tuple(cfg.get("image_size", default_size)),
+            pos_encoding=bool(cfg.get("pos_encoding", True)))
+    return get_model_spec(cfg.model)
+
+
 class LdmTrainer:
     """Orchestration object; `fit` consumes any iterator of batch dicts."""
 
     def __init__(self, cfg: Cfg, mesh=None):
         enable_compilation_cache()
         self.cfg = cfg
-        self.spec = get_model_spec(cfg.model)
+        self.spec = spec_from_cfg(cfg)
         self.mesh = mesh or make_mesh()
         self.dtype = jnp.bfloat16 if cfg.get("mixed_precision") == "bf16" \
             else jnp.float32
@@ -247,6 +271,8 @@ class LdmTrainer:
 
 
 def main():
+    from rangeldm_tpu.utils.cache import honor_jax_platforms_env
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True)
     ap.add_argument("--max_steps", type=int, default=None)
@@ -259,11 +285,12 @@ def main():
     dcfg = cfg.get("data", {})
     ds = RangeImageDataset(DatasetConfig(
         root=dcfg.get("root", ""), sensor=dcfg.get("sensor", "kitti360"),
+        width=int(dcfg.get("width", 1024)),
         used_feature=int(dcfg.get("used_feature", 2)),
         downsample=cfg.get("upsample"), inpainting=cfg.get("inpainting"),
         mean=dcfg.get("mean"), std=dcfg.get("std")), train=True)
-    loader = RangeLoader(ds, batch_size=int(cfg.get("train_batch_size", 32),
-                         shard_by_process=jax.process_count() > 1))
+    loader = RangeLoader(ds, batch_size=int(cfg.get("train_batch_size", 32)),
+                         shard_by_process=jax.process_count() > 1)
 
     trainer = LdmTrainer(cfg)
     start = trainer.resume()

@@ -199,6 +199,8 @@ class VaeTrainer:
 
 
 def main():
+    from rangeldm_tpu.utils.cache import honor_jax_platforms_env
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True)
     ap.add_argument("--max_steps", type=int, default=None)
@@ -212,10 +214,11 @@ def main():
     dcfg = cfg.get("data", {})
     ds = RangeImageDataset(DatasetConfig(
         root=dcfg.get("root", ""), sensor=dcfg.get("sensor", "kitti360"),
+        width=int(dcfg.get("width", 1024)),
         used_feature=int(dcfg.get("used_feature", 2)),
         mean=dcfg.get("mean"), std=dcfg.get("std")), train=True)
-    loader = RangeLoader(ds, batch_size=int(cfg.get("batch_size", 16),
-                         shard_by_process=jax.process_count() > 1))
+    loader = RangeLoader(ds, batch_size=int(cfg.get("batch_size", 16)),
+                         shard_by_process=jax.process_count() > 1)
 
     trainer = VaeTrainer(cfg)
     trainer.resume()

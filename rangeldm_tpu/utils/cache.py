@@ -17,6 +17,21 @@ DEFAULT_DIR = os.environ.get(
         os.path.abspath(__file__)))), ".jax_cache"))
 
 
+def honor_jax_platforms_env() -> None:
+    """Re-apply the JAX_PLATFORMS env var over any config-level pin.
+
+    Some sandboxes pin `jax_platforms` via config (e.g. 'axon,cpu'), which
+    silently overrides the env var — a CLI run with JAX_PLATFORMS=cpu would
+    otherwise land on the accelerator. Must run before the backend
+    initializes (call first thing in every CLI main())."""
+    plat = os.environ.get("JAX_PLATFORMS", "").strip()
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(cache_dir: str = DEFAULT_DIR) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

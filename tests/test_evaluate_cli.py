@@ -2,6 +2,7 @@
 synthetic KITTI-360 held-out reference tree."""
 
 import numpy as np
+import pytest
 
 from conftest import synthetic_scan
 
@@ -29,3 +30,62 @@ def test_evaluate_mmd_jsd(tmp_path, rng, monkeypatch):
     # same distribution -> small-ish numbers; different seeds still same
     # generator, so mmd should be near zero
     assert results["mmd"] < 0.05
+
+
+def _make_rangenet_ckpt(tmp_path):
+    """Synthetic darknet53 checkpoint in the released on-disk format."""
+    import sys, torch
+    sys.path.insert(0, "tests")
+    from test_rangenet_parity import build_torch_rangenet
+    bb, dec, head = build_torch_rangenet()
+    d = tmp_path / "rangenet"
+    d.mkdir()
+    torch.save(bb.state_dict(), d / "backbone")
+    torch.save(dec.state_dict(), d / "segmentation_decoder")
+    torch.save(head.state_dict(), d / "segmentation_head")
+    return str(d)
+
+
+@pytest.mark.heavy
+def test_evaluate_iou_accuracy(tmp_path, rng):
+    """--iou/--accuracy over synthetic inpainting triplets: label-map
+    determinism (identical dumps -> IoU == accuracy == 1) and a perturbed
+    result scoring strictly below."""
+    from rangeldm_tpu.geometry import get_spec, range_image_np
+    from conftest import synthetic_scan
+
+    ckpt = _make_rangenet_ckpt(tmp_path)
+    exp = tmp_path / "exp"
+    for sub in ("result", "target"):
+        (exp / f"inpainting_{sub}").mkdir(parents=True)
+    spec = get_spec("kitti360")
+    for i in range(2):
+        img, _, _ = range_image_np(synthetic_scan(rng, n=8000), spec)
+        np.save(exp / "inpainting_target" / f"{i}.npy", img)
+        np.save(exp / "inpainting_result" / f"{i}.npy", img)  # identical
+
+    from rangeldm_tpu.evaluate import main
+    res = main(["--exp", str(exp), "--iou", "--accuracy",
+                "--rangenet", ckpt, "--limit", "2"])
+    assert res["iou"] == 1.0 and res["accuracy"] == 1.0
+
+    # perturbed result -> scores drop but stay in [0, 1]
+    for i in range(2):
+        img = np.load(exp / f"inpainting_target/{i}.npy")
+        img[..., 0] += rng.standard_normal(img.shape[:2]).astype(np.float32) * 0.5
+        np.save(exp / "inpainting_result" / f"{i}.npy", img)
+    res2 = main(["--exp", str(exp), "--iou", "--accuracy",
+                 "--rangenet", ckpt, "--limit", "2"])
+    assert 0.0 <= res2["iou"] < 1.0
+    assert 0.0 <= res2["accuracy"] < 1.0
+
+
+def test_segmentation_iou_self_consistency(rng):
+    from rangeldm_tpu.metrics.mae import (
+        segmentation_accuracy, segmentation_iou,
+    )
+    labels = rng.integers(0, 20, (4, 64, 128))
+    assert segmentation_iou(labels, labels) == 1.0
+    assert segmentation_accuracy(labels, labels) == 1.0
+    other = (labels + 1) % 20
+    assert segmentation_iou(other, labels) == 0.0

@@ -122,3 +122,38 @@ def test_unet_azimuth_equivariance():
     y_roll = m.apply(params, jnp.roll(x, shift, axis=2), jnp.array([5]))
     np.testing.assert_allclose(np.asarray(jnp.roll(y, shift, axis=2)),
                                np.asarray(y_roll), rtol=2e-4, atol=2e-4)
+
+
+def test_attention_use_fused_matches_einsum():
+    """use_fused=True (Pallas, interpret off-TPU) == use_fused=False (einsum)
+    through the Attention module — also guards the dtype/use_fused field
+    ordering (round-1 positional-arg slip bound dtype to use_fused)."""
+    import numpy as np
+    from rangeldm_tpu.models.unet import Attention
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 16, 32), dtype=np.float32))
+    m_f = Attention(head_dim=8, use_fused=False)
+    params = m_f.init(jax.random.PRNGKey(0), x)
+    y_plain = np.asarray(m_f.apply(params, x))
+    y_fused = np.asarray(Attention(head_dim=8, use_fused=True).apply(params, x))
+    np.testing.assert_allclose(y_fused, y_plain, rtol=1e-5, atol=1e-5)
+
+
+def test_unet_use_fused_attention_configurable():
+    """use_fused_attention threads from UNetConfig to the blocks."""
+    import numpy as np
+    from rangeldm_tpu.models.unet import UNetConfig, UNet2D
+    cfg = lambda uf: UNetConfig(
+        sample_size=(4, 16), in_channels=3, out_channels=2,
+        block_out_channels=(32, 32),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+        use_fused_attention=uf)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 4, 16, 3), dtype=np.float32))
+    t = jnp.zeros((2,), jnp.int32)
+    m0 = UNet2D(cfg(False))
+    params = m0.init(jax.random.PRNGKey(0), x, t)
+    y0 = np.asarray(m0.apply(params, x, t))
+    y1 = np.asarray(UNet2D(cfg(True)).apply(params, x, t))
+    np.testing.assert_allclose(y1, y0, rtol=1e-5, atol=1e-5)
