@@ -131,6 +131,10 @@ class NLayerDiscriminator(nn.Module):
                                 epsilon=1e-5, dtype=self.dtype, name=name,
                                 scale_init=_bn_scale_init)
 
+        # 3 stride-2 stages + a k4/s1 stage: inputs shorter than 16 beams
+        # collapse to an empty tensor whose BatchNorm is silently NaN.
+        assert min(x.shape[1], x.shape[2]) >= 2 ** self.n_layers * 2, \
+            f"input {x.shape} too small for a {self.n_layers}-layer PatchGAN"
         h = conv(self.ndf, 2, "main_0", use_bias=True)(x)
         h = leaky_relu(h)
         nf, idx = 1, 2

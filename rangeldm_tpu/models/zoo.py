@@ -123,4 +123,8 @@ ZOO = {
 
 
 def get_model_spec(name: str) -> ModelSpec:
+    if name not in ZOO:
+        raise KeyError(
+            f"unknown model {name!r}; available: {sorted(ZOO)} "
+            "(or pass an inline model_config: in the YAML)")
     return ZOO[name]()

@@ -25,8 +25,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+_LOG2E = float(np.log2(np.e))
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, group: int):
@@ -34,18 +38,22 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, group: int):
         q = q_ref[g]                                 # (D, T)
         k = k_ref[g]
         v = v_ref[g]
-        # scores[t, s] = sum_d q[d, t] k[d, s]
+        # scores[t, s] = sum_d q[d, t] k[d, s]; the softmax temperature is
+        # folded into scale as log2(e) so the exponential is a single exp2
+        # (exp(x) == exp2(x * log2e)); the row-sum division is folded into
+        # the (D, T) output instead of the (T, T) probabilities — one
+        # full (T, T) VPU pass saved per head.
         logits = jax.lax.dot_general(
             q, k, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale      # (T, T) f32
+            preferred_element_type=jnp.float32) * (scale * _LOG2E)
         m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        # out_T[d, t] = sum_s v[d, s] p[t, s]
+        e = jnp.exp2(logits - m)                             # (T, T) f32
+        s = jnp.sum(e, axis=-1)                              # (T,)
+        # out_T[d, t] = (sum_s v[d, s] e[t, s]) / s[t]
         o = jax.lax.dot_general(
-            v, p.astype(v.dtype), (((1,), (1,)), ((), ())),
+            v, e.astype(v.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # (D, T)
-        o_ref[g] = o.astype(o_ref.dtype)
+        o_ref[g] = (o / s[None, :]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "group"))

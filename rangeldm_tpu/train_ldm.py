@@ -228,31 +228,42 @@ class LdmTrainer:
 
     def fit(self, batches, max_steps: Optional[int] = None,
             log_every: int = 50) -> dict:
+        from rangeldm_tpu.training.loggers import (
+            ScalarLogger, emergency_checkpoint,
+        )
         cfg = self.cfg
         rng = jax.device_put(jax.random.PRNGKey(int(cfg.get("seed", 0))),
                              self._shard_repl)
         ckpt_steps = int(cfg.get("checkpointing_steps", 500))
         sample_steps = cfg.get("sample_every_steps")
+        logger = ScalarLogger(self.out_dir,
+                              tensorboard=bool(cfg.get("tensorboard", True)))
         last = {}
         t0 = time.perf_counter()
-        for batch in batches:
-            batch = {k: v for k, v in batch.items()
-                     if k in ("jpg", "down", "masked_image", "inpainting_mask")}
-            batch = shard_batch(self.mesh, batch)
-            self.state, metrics = self.train_step(self.state, batch, rng)
-            step = int(self.state.step)
-            if step % log_every == 0 or (max_steps and step >= max_steps):
-                last = {k: float(v) for k, v in metrics.items()}
-                last.update(step=step,
-                            sps=step / max(time.perf_counter() - t0, 1e-9))
-                with open(self.log_path, "a") as f:
-                    f.write(json.dumps(last) + "\n")
-            if step % ckpt_steps == 0:
-                self.ckpt.save(step, jax.device_get(self.state))
-            if sample_steps and step % int(sample_steps) == 0:
-                self.dump_samples(step)
-            if max_steps and step >= max_steps:
-                break
+
+        def save_now():
+            self.ckpt.save(int(self.state.step), jax.device_get(self.state))
+
+        with emergency_checkpoint(save_now):
+            for batch in batches:
+                batch = {k: v for k, v in batch.items()
+                         if k in ("jpg", "down", "masked_image",
+                                  "inpainting_mask")}
+                batch = shard_batch(self.mesh, batch)
+                self.state, metrics = self.train_step(self.state, batch, rng)
+                step = int(self.state.step)
+                if step % log_every == 0 or (max_steps and step >= max_steps):
+                    last = {k: float(v) for k, v in metrics.items()}
+                    last.update(step=step,
+                                sps=step / max(time.perf_counter() - t0, 1e-9))
+                    logger.log(step, last)
+                if step % ckpt_steps == 0:
+                    self.ckpt.save(step, jax.device_get(self.state))
+                if sample_steps and step % int(sample_steps) == 0:
+                    self.dump_samples(step)
+                if max_steps and step >= max_steps:
+                    break
+        logger.close()
         return last
 
     def save_final(self) -> str:

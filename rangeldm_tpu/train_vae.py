@@ -57,7 +57,16 @@ class VaeTrainer:
             disc_weight=float(lcfg.get("disc_weight", 0.5)),
             range_weight=float(lcfg.get("range_weight", 40.0)),
             intensity_weight=float(lcfg.get("intensity_weight", 10.0)),
-            kl_weight=float(lcfg.get("kl_weight", 1e-6)))
+            kl_weight=float(lcfg.get("kl_weight", 1e-6)),
+            encoding=lcfg.get("encoding", "linear"),
+            use_rec_loss_true=bool(lcfg.get("use_rec_loss_true", False)),
+            use_rec_loss_true_power=bool(
+                lcfg.get("use_rec_loss_true_power", False)),
+            rec_power=float(lcfg.get("rec_power", 2.0)),
+            bev_rec_weight=float(lcfg.get("bev_rec_weight", 0.0)),
+            perceptual_weight=float(lcfg.get("perceptual_weight", 0.0)),
+            bev_perceptual=bool(lcfg.get("bev_perceptual", False)),
+            disc_bev=bool(lcfg.get("disc_bev", False)))
         spec = cfg.get("data", {})
         mk = lcfg.get("metakernel", True)
         if mk == 2:
@@ -92,9 +101,24 @@ class VaeTrainer:
         self._repl = repl
         self.state = jax.device_put(state, repl)
 
+        voxel_fn = None
+        lc = self.loss_cfg
+        from rangeldm_tpu.geometry import get_spec
+        sensor_spec = get_spec(spec.get("sensor", "kitti360"))
+        if lc.bev_rec_weight > 0 or lc.bev_perceptual or lc.disc_bev:
+            import functools
+            from rangeldm_tpu.geometry import to_voxel
+            voxel_fn = functools.partial(to_voxel, spec=sensor_spec)
+        perceptual_fn = None
+        if lc.perceptual_weight > 0:
+            from rangeldm_tpu.models.lpips import make_perceptual_fn
+            perceptual_fn = make_perceptual_fn(
+                cfg.get("lpips_checkpoint"),
+                kind=lcfg.get("perceptual_kind", "vgg"), spec=sensor_spec)
+
         gen_step, disc_step = make_vae_gan_steps(
             self.vae, make_disc_apply(self.disc), self.gen_tx, self.disc_tx,
-            self.loss_cfg)
+            self.loss_cfg, voxel_fn=voxel_fn, perceptual_fn=perceptual_fn)
         self.gen_step = jax.jit(gen_step, donate_argnums=(0,))
         self.disc_step = jax.jit(disc_step, donate_argnums=(0,))
 
@@ -125,28 +149,39 @@ class VaeTrainer:
                 every=int(self.cfg.log_images_every),
                 mean=float(spec.get("mean", 20.0)),
                 std=float(spec.get("std", 40.0)))
+        from rangeldm_tpu.training.loggers import (
+            ScalarLogger, emergency_checkpoint,
+        )
+        logger = ScalarLogger(
+            self.out_dir,
+            tensorboard=bool(self.cfg.get("tensorboard", True)))
         last = {}
-        for batch in batches:
-            x = batch["jpg"] if isinstance(batch, dict) else batch
-            x = shard_batch(self.mesh, x)
-            self.state, gm = self.gen_step(self.state, x, rng)
-            self.state, dm = self.disc_step(self.state, x, rng)
-            step = int(self.state.step)
-            if image_logger is not None and image_logger.should_log(step):
-                xrec, _, _ = self.vae.apply(
-                    {"params": self.state.gen_params["vae"]}, x,
-                    rng=jax.random.PRNGKey(step))
-                image_logger.log(step, inputs=jax.device_get(x),
-                                 reconstructions=jax.device_get(xrec))
-            if step % log_every == 0 or (max_steps and step >= max_steps):
-                last = {k: float(v) for k, v in {**gm, **dm}.items()}
-                last["step"] = step
-                with open(self.log_path, "a") as f:
-                    f.write(json.dumps(last) + "\n")
-            if step % ckpt_every == 0:
-                self.ckpt.save(step, jax.device_get(self.state))
-            if max_steps and step >= max_steps:
-                break
+
+        def save_now():
+            self.ckpt.save(int(self.state.step), jax.device_get(self.state))
+
+        with emergency_checkpoint(save_now):
+            for batch in batches:
+                x = batch["jpg"] if isinstance(batch, dict) else batch
+                x = shard_batch(self.mesh, x)
+                self.state, gm = self.gen_step(self.state, x, rng)
+                self.state, dm = self.disc_step(self.state, x, rng)
+                step = int(self.state.step)
+                if image_logger is not None and image_logger.should_log(step):
+                    xrec, _, _ = self.vae.apply(
+                        {"params": self.state.gen_params["vae"]}, x,
+                        rng=jax.random.PRNGKey(step))
+                    image_logger.log(step, inputs=jax.device_get(x),
+                                     reconstructions=jax.device_get(xrec))
+                if step % log_every == 0 or (max_steps and step >= max_steps):
+                    last = {k: float(v) for k, v in {**gm, **dm}.items()}
+                    last["step"] = step
+                    logger.log(step, last)
+                if step % ckpt_every == 0:
+                    self.ckpt.save(step, jax.device_get(self.state))
+                if max_steps and step >= max_steps:
+                    break
+        logger.close()
         return last
 
     def validate(self, batches, max_batches: int = 50) -> dict:

@@ -43,6 +43,15 @@ class VaeLossConfig:
     learn_logvar: bool = False
     logvar_init: float = 0.0
     ema_decay: float = 0.9999
+    # optional branches (losses/__init__.py:239-305)
+    encoding: str = "linear"            # range encoding: 'linear'|'log'|'inverse'
+    use_rec_loss_true: bool = False     # L1 in true (decoded) range
+    use_rec_loss_true_power: bool = False
+    rec_power: float = 2.0
+    bev_rec_weight: float = 0.0         # L1 on BEV log-density
+    perceptual_weight: float = 0.0
+    bev_perceptual: bool = False        # perceptual over BEV instead of image
+    disc_bev: bool = False              # discriminator sees BEV grids
 
 
 class VaeGanState(struct.PyTreeNode):
@@ -56,13 +65,44 @@ class VaeGanState(struct.PyTreeNode):
     ema_updates: Optional[jnp.ndarray] = None
 
 
+def true_range_l1(x, xrec, cfg: VaeLossConfig):
+    """L1 in decoded (metric) range for log/inverse encodings
+    (losses/__init__.py:239-242): log -> |64^a - 64^b|, inverse ->
+    |1/max(a, 1e-4) - 1/max(b, 1e-4)|."""
+    a, b = x[..., 0], xrec[..., 0]
+    if cfg.encoding == "log":
+        return jnp.abs(64.0 ** a - 64.0 ** b)
+    if cfg.encoding == "inverse":
+        return jnp.abs(1.0 / jnp.maximum(a, 1e-4) - 1.0 / jnp.maximum(b, 1e-4))
+    raise NotImplementedError(
+        "true-range loss requires log or inverse encoding "
+        "(losses/__init__.py:244-245)")
+
+
 def reconstruction_loss(x, xrec, cfg: VaeLossConfig):
     """Channel-weighted L1 (losses/__init__.py:252-254); NHWC channel 0 =
-    range, 1 = intensity."""
-    rec = cfg.range_weight * jnp.abs(x[..., 0] - xrec[..., 0])
+    range, 1 = intensity. Optional true-range / powered-range variants for
+    log/inverse encodings (:239-250)."""
+    if cfg.use_rec_loss_true:
+        rec = true_range_l1(x, xrec, cfg)
+    elif cfg.use_rec_loss_true_power:
+        if cfg.encoding != "log":
+            raise NotImplementedError(
+                "rec_loss_true_power requires log encoding (:248-249)")
+        rec = jnp.abs((64.0 ** x[..., 0]) ** cfg.rec_power -
+                      (64.0 ** xrec[..., 0]) ** cfg.rec_power)
+    else:
+        rec = cfg.range_weight * jnp.abs(x[..., 0] - xrec[..., 0])
     if cfg.used_feature > 1:
         rec = rec + cfg.intensity_weight * jnp.abs(x[..., 1] - xrec[..., 1])
     return rec
+
+
+def _bev_three_channel(vox):
+    """(B, 2, Gy, Gx) BEV [density, intensity] -> 3 channels for image
+    perceptual nets (losses/__init__.py:270-274: cat(density, density,
+    intensity))."""
+    return jnp.concatenate([vox[:, :1], vox[:, :1], vox[:, 1:]], axis=1)
 
 
 def hinge_d_loss(logits_real, logits_fake):
@@ -92,11 +132,33 @@ def create_vae_gan_state(vae_params, disc_vars, gen_tx, disc_tx,
 
 
 def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
-                       gen_tx, disc_tx, cfg: VaeLossConfig):
+                       gen_tx, disc_tx, cfg: VaeLossConfig,
+                       voxel_fn: Optional[Callable] = None,
+                       perceptual_fn: Optional[Callable] = None):
     """Returns (gen_step, disc_step), each (state, batch, rng) ->
     (state, metrics). `disc_apply(variables, x, train, mutable)` wraps the
-    discriminator module."""
+    discriminator module.
+
+    voxel_fn: (B, H, W, C) range images -> (B, 2, Gy, Gx) BEV grids
+    (geometry.to_voxel with the dataset spec); required when bev_rec_weight,
+    bev_perceptual, or disc_bev is set.
+    perceptual_fn: (x, xrec) -> per-sample (B,) or broadcastable loss
+    (e.g. models.lpips distance); required when perceptual_weight > 0.
+    """
     d_loss_fn = hinge_d_loss if cfg.disc_loss == "hinge" else vanilla_d_loss
+    if (cfg.bev_rec_weight > 0 or cfg.bev_perceptual or cfg.disc_bev) \
+            and voxel_fn is None:
+        raise ValueError("voxel_fn required for the BEV loss branches")
+    if cfg.perceptual_weight > 0 and perceptual_fn is None:
+        raise ValueError("perceptual_fn required when perceptual_weight > 0")
+
+    def disc_input(x, vox=None):
+        """What the discriminator consumes (losses/__init__.py:310-312,
+        361-363): BEV grids (as NHWC) when disc_bev, else the range image."""
+        if not cfg.disc_bev:
+            return x
+        v = vox if vox is not None else voxel_fn(x)
+        return jnp.transpose(v, (0, 2, 3, 1))
 
     def forward(vae_params, batch, rng):
         moments = vae.apply({"params": vae_params}, batch,
@@ -119,15 +181,39 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
             xrec, z, moments = forward(vp, batch, rng)
 
             rec = reconstruction_loss(batch, xrec, cfg)
+            extra = {}
+            if cfg.encoding in ("log", "inverse") and not cfg.use_rec_loss_true:
+                extra["rec_loss_true"] = jnp.mean(
+                    true_range_l1(batch, xrec, cfg))
+
+            vox_in = vox_rec = None
+            if cfg.bev_rec_weight > 0 or cfg.bev_perceptual or cfg.disc_bev:
+                vox_in, vox_rec = voxel_fn(batch), voxel_fn(xrec)
+            if cfg.perceptual_weight > 0:
+                if cfg.bev_perceptual:
+                    p_loss = perceptual_fn(_bev_three_channel(vox_in),
+                                           _bev_three_channel(vox_rec))
+                else:
+                    p_loss = perceptual_fn(batch, xrec)
+                if jnp.ndim(p_loss) == 1:          # (B,) -> broadcast over HW
+                    p_loss = p_loss[:, None, None]
+                extra["p_loss"] = jnp.mean(p_loss)
+                rec = rec + cfg.perceptual_weight * p_loss
+
             nll = rec / jnp.exp(logvar) + logvar
             nll_loss = jnp.sum(nll) / batch.shape[0]
+            if cfg.bev_rec_weight > 0:
+                bev = cfg.bev_rec_weight * jnp.abs(vox_in[:, 0] - vox_rec[:, 0])
+                nll_loss = nll_loss + jnp.sum(bev) / batch.shape[0]
+                extra["bev_rec_loss"] = jnp.mean(bev)
             kl = gaussian_kl(moments)
             kl_loss = jnp.sum(kl) / kl.shape[0]
 
             disc_vars = {"params": state.disc_params,
                          "batch_stats": state.disc_batch_stats}
-            logits_fake, new_stats = disc_apply(disc_vars, xrec, train=True,
-                                                mutable=True)
+            logits_fake, new_stats = disc_apply(
+                disc_vars, disc_input(xrec, vox_rec), train=True,
+                mutable=True)
             g_loss = -jnp.mean(logits_fake)
 
             # adaptive weight at the decoder's final conv kernel
@@ -143,11 +229,30 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
             xrec2, dec_vjp = jax.vjp(dec, w_last)
 
             def nll_scalar(xr):
+                """Mirrors the full nll (incl. perceptual/BEV terms) so the
+                adaptive weight matches the reference's autograd.grad of the
+                actual nll_loss graph (losses/__init__.py:200-215)."""
                 r = reconstruction_loss(batch, xr, cfg)
-                return jnp.sum(r / jnp.exp(logvar) + logvar) / batch.shape[0]
+                vr = voxel_fn(xr) if (cfg.bev_rec_weight > 0 or
+                                      cfg.bev_perceptual) else None
+                if cfg.perceptual_weight > 0:
+                    if cfg.bev_perceptual:
+                        p = perceptual_fn(_bev_three_channel(vox_in),
+                                          _bev_three_channel(vr))
+                    else:
+                        p = perceptual_fn(batch, xr)
+                    if jnp.ndim(p) == 1:
+                        p = p[:, None, None]
+                    r = r + cfg.perceptual_weight * p
+                out = jnp.sum(r / jnp.exp(logvar) + logvar) / batch.shape[0]
+                if cfg.bev_rec_weight > 0:
+                    b = cfg.bev_rec_weight * jnp.abs(vox_in[:, 0] - vr[:, 0])
+                    out = out + jnp.sum(b) / batch.shape[0]
+                return out
 
             def g_scalar(xr):
-                lf, _ = disc_apply(disc_vars, xr, train=True, mutable=True)
+                lf, _ = disc_apply(disc_vars, disc_input(xr), train=True,
+                                   mutable=True)
                 return -jnp.mean(lf)
 
             nll_cot = jax.grad(nll_scalar)(xrec2)
@@ -164,7 +269,7 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
             metrics = {"total_loss": loss, "nll_loss": nll_loss,
                        "rec_loss": jnp.mean(rec), "kl_loss": kl_loss,
                        "g_loss": g_loss, "d_weight": d_weight,
-                       "disc_factor": df, "logvar": logvar}
+                       "disc_factor": df, "logvar": logvar, **extra}
             return loss, (metrics, new_stats)
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
@@ -191,14 +296,17 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
         xrec, _, _ = forward(state.gen_params["vae"], batch, rng)
         xrec = jax.lax.stop_gradient(xrec)
 
+        d_real = disc_input(batch)
+        d_fake = disc_input(xrec)
+
         def loss_fn(disc_params):
             dv = {"params": disc_params,
                   "batch_stats": state.disc_batch_stats}
-            logits_real, stats1 = disc_apply(dv, batch, train=True,
+            logits_real, stats1 = disc_apply(dv, d_real, train=True,
                                              mutable=True)
             dv2 = {"params": disc_params,
                    "batch_stats": stats1["batch_stats"]}
-            logits_fake, stats2 = disc_apply(dv2, xrec, train=True,
+            logits_fake, stats2 = disc_apply(dv2, d_fake, train=True,
                                              mutable=True)
             df = disc_factor_at(state.step)
             d_loss = df * d_loss_fn(logits_real, logits_fake)

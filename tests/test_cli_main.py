@@ -84,3 +84,24 @@ def test_train_vae_main(monkeypatch, tmp_path, kitti_tree):
     run_main(monkeypatch, mod, cfg_path)
     assert os.path.exists(os.path.join(out, "train_log.jsonl"))
     assert os.path.exists(os.path.join(out, "vae_sgm.safetensors"))
+
+
+def test_vae_trainer_loss_branch_plumbing(tmp_path):
+    """cfg keys -> VaeLossConfig fields + voxel/perceptual fns (construction
+    only; the branch math is exercised in tests/test_lpips.py)."""
+    from rangeldm_tpu.train_vae import VaeTrainer
+    from rangeldm_tpu.utils.config import Cfg
+    cfg = Cfg.wrap({
+        "output_dir": str(tmp_path / "v"), "batch_size": 8,
+        "image_size": [32, 64],
+        "vae": {"ch": 32, "ch_mult": [1, 2], "z_channels": 4},
+        "loss": {"disc_start": 10, "metakernel": False,
+                 "encoding": "log", "use_rec_loss_true": True,
+                 "bev_rec_weight": 0.25, "perceptual_weight": 0.1,
+                 "bev_perceptual": True},
+    })
+    tr = VaeTrainer(cfg)
+    lc = tr.loss_cfg
+    assert lc.encoding == "log" and lc.use_rec_loss_true
+    assert lc.bev_rec_weight == 0.25 and lc.perceptual_weight == 0.1
+    assert lc.bev_perceptual

@@ -171,3 +171,70 @@ def test_denoise_trajectory_collection():
     np.testing.assert_allclose(np.asarray(traj[0]), np.asarray(x0), rtol=1e-6)
     only = denoise(model_fn, s, x0, 5, rng)
     np.testing.assert_allclose(np.asarray(final), np.asarray(only), rtol=1e-6)
+
+
+def test_ddim_step_eta_positive_variance_formula(rng):
+    """eta>0 branch (DDIMScheduler._get_variance):
+    var = (1-a_prev)/(1-a_t) * (1 - a_t/a_prev); the stochastic step is
+    sqrt(a_prev) x0 + sqrt(1 - a_prev - eta^2 var) eps + eta sqrt(var) z."""
+    import jax
+    sch = Schedule.create(ScheduleConfig())
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 3), dtype=np.float32))
+    eps = jnp.asarray(rng.standard_normal((2, 4, 8, 3), dtype=np.float32))
+    t, tp = jnp.asarray(801), jnp.asarray(781)
+    eta = 0.7
+    key = jax.random.PRNGKey(0)
+    got = np.asarray(sch.ddim_step(eps, t, tp, x, eta=eta, rng=key))
+
+    acp = np.asarray(sch.alphas_cumprod)
+    a_t, a_prev = acp[801], acp[781]
+    x0 = (np.asarray(x) - np.sqrt(1 - a_t) * np.asarray(eps)) / np.sqrt(a_t)
+    var = (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
+    std = eta * np.sqrt(var)
+    z = np.asarray(jax.random.normal(key, x.shape, x.dtype))
+    want = (np.sqrt(a_prev) * x0 +
+            np.sqrt(1 - a_prev - std ** 2) * np.asarray(eps) + std * z)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ddim_eta_zero_vs_positive(rng):
+    """eta=0 is deterministic; eta>0 differs across rng keys but agrees for
+    the same key; eta=1 variance matches the DDPM posterior variance."""
+    import jax
+    sch = Schedule.create(ScheduleConfig())
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 2), dtype=np.float32))
+    eps = jnp.asarray(rng.standard_normal((1, 4, 8, 2), dtype=np.float32))
+    t, tp = jnp.asarray(501), jnp.asarray(481)
+    d0a = np.asarray(sch.ddim_step(eps, t, tp, x, eta=0.0))
+    d0b = np.asarray(sch.ddim_step(eps, t, tp, x, eta=0.0,
+                                   rng=jax.random.PRNGKey(7)))
+    np.testing.assert_array_equal(d0a, d0b)   # rng ignored at eta=0
+    s1 = np.asarray(sch.ddim_step(eps, t, tp, x, eta=0.5,
+                                  rng=jax.random.PRNGKey(1)))
+    s2 = np.asarray(sch.ddim_step(eps, t, tp, x, eta=0.5,
+                                  rng=jax.random.PRNGKey(2)))
+    s1b = np.asarray(sch.ddim_step(eps, t, tp, x, eta=0.5,
+                                   rng=jax.random.PRNGKey(1)))
+    assert not np.allclose(s1, s2)
+    np.testing.assert_array_equal(s1, s1b)
+    assert np.abs(s1 - d0a).max() > 0
+
+    # eta=1: std^2 equals the DDPM posterior variance beta_t~ =
+    # (1-a_prev)/(1-a_t) * beta_seg where beta_seg = 1 - a_t/a_prev
+    acp = np.asarray(sch.alphas_cumprod)
+    var = (1 - acp[481]) / (1 - acp[501]) * (1 - acp[501] / acp[481])
+    assert var > 0
+
+
+def test_denoise_eta_positive_end_to_end(rng):
+    """The sampling loop accepts eta>0 and stays finite (untested in r1)."""
+    import jax
+    from rangeldm_tpu.pipelines.samplers import ddim_sample
+    sch = Schedule.create(ScheduleConfig())
+
+    def model_fn(x, t):
+        return 0.1 * x[..., :2]
+
+    out = ddim_sample(model_fn, sch, jax.random.PRNGKey(0), (2, 4, 8, 2),
+                      num_steps=5, eta=0.8)
+    assert np.isfinite(np.asarray(out)).all()
