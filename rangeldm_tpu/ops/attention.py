@@ -34,26 +34,39 @@ _LOG2E = float(np.log2(np.e))
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, group: int):
-    for g in range(group):
-        q = q_ref[g]                                 # (D, T)
-        k = k_ref[g]
-        v = v_ref[g]
-        # scores[t, s] = sum_d q[d, t] k[d, s]; the softmax temperature is
-        # folded into scale as log2(e) so the exponential is a single exp2
-        # (exp(x) == exp2(x * log2e)); the row-sum division is folded into
-        # the (D, T) output instead of the (T, T) probabilities — one
-        # full (T, T) VPU pass saved per head.
-        logits = jax.lax.dot_general(
-            q, k, (((0,), (0,)), ((), ())),
+    # Per head: scores[t, s] = sum_d q[d, t] k[d, s]; the softmax temperature
+    # is folded into scale as log2(e) so the exponential is a single exp2
+    # (exp(x) == exp2(x * log2e)).
+    #
+    # Two MXU-economics tricks (see BENCHMARKS.md):
+    #  * software pipelining: head g+1's QK^T (MXU) is issued *before* head
+    #    g's softmax (VPU), so the d=8-padded contraction and the exp2 pass
+    #    overlap instead of serializing — the kernel runs at
+    #    max(MXU, VPU) instead of MXU + VPU.
+    #  * the softmax row-sum rides the PV matmul: V is augmented with a ones
+    #    row, so row D of the (D+1, T) product is sum_s e[t, s]. The MXU pads
+    #    the 8-row output to a full tile anyway, making the sum literally
+    #    free, and it replaces a full (T, T) VPU reduction pass per head.
+    def qk(g):
+        return jax.lax.dot_general(
+            q_ref[g], k_ref[g], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * _LOG2E)
+
+    d = q_ref.shape[1]
+    ones = jnp.ones((1, v_ref.shape[2]), v_ref.dtype)
+    l_next = qk(0)
+    for g in range(group):
+        logits = l_next
+        if g + 1 < group:
+            l_next = qk(g + 1)                       # independent MXU work
         m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp2(logits - m)                             # (T, T) f32
-        s = jnp.sum(e, axis=-1)                              # (T,)
-        # out_T[d, t] = (sum_s v[d, s] e[t, s]) / s[t]
+        e = jnp.exp2(logits - m).astype(v_ref.dtype)         # (T, T)
+        v1 = jnp.concatenate([v_ref[g], ones], axis=0)       # (D+1, T)
+        # out1[i, t] = sum_s v1[i, s] e[t, s]; row D is the softmax row-sum.
         o = jax.lax.dot_general(
-            v, e.astype(v.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (D, T)
-        o_ref[g] = (o / s[None, :]).astype(o_ref.dtype)
+            v1, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (D+1, T)
+        o_ref[g] = (o[:d] / o[d:d + 1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "group"))
@@ -68,7 +81,7 @@ def fused_attention_t(qt: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
     scale = float(d ** -0.5) if scale is None else float(scale)
     kernel = functools.partial(_attn_kernel, scale=scale, group=group)
     spec = pl.BlockSpec((group, d, t), lambda i: (i, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(n // group,),
@@ -132,7 +145,7 @@ def fused_attention_bwd_t(qt, kt, vt, g, scale: float,
     kernel = functools.partial(_attn_bwd_kernel, scale=float(scale),
                                group=group)
     spec = pl.BlockSpec((group, d, t), lambda i: (i, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
     shapes = [jax.ShapeDtypeStruct(qt.shape, qt.dtype)] * 3
     return pl.pallas_call(
         kernel,
