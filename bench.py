@@ -87,7 +87,11 @@ def main():
         start = time.perf_counter()
         for i in range(n_iters):
             out = sample(jax.random.fold_in(rng, round_ * n_iters + i))
-        jax.block_until_ready(out)
+        # a real device->host fetch is the only reliable completion barrier
+        # over this tunnel (block_until_ready can return before the work
+        # finishes — BENCHMARKS.md caveats); fetch one element of the last
+        # output.
+        np.asarray(out.ravel()[:1])
         elapsed = time.perf_counter() - start
         best = max(best, BATCH * n_iters / elapsed)
 

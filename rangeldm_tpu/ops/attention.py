@@ -102,35 +102,51 @@ def _plain_attention_t(qt, kt, vt, scale):
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                      scale: float, group: int):
-    """Fused backward: recompute p in VMEM, then
-    dv = g p ; dp = g^T v ; dl = p*(dp - rowsum(dp*p)) ; dq = scale*k dl^T ;
-    dk = scale*q dl (all on the (D, T) transposed layout)."""
+    """Fused backward on the (D, T) transposed layout.
+
+    Math (p = softmax(scale * q^T k)):
+      dv = g p ; dp = g^T v ; dl = p*(dp - rowsum(dp*p)) ; dq = scale*k dl^T ;
+      dk = scale*q dl.
+
+    p is never materialized: with e = exp(l - m) and inv_s the softmax
+    denominators, dv = dot(g * inv_s^T, e) (the rowwise 1/s applied to the
+    tiny (D, T) cotangent instead of the (T, S) probabilities) and
+    dl = e*(dp - c)*inv_s*scale with c = rowsum(dp*e)*inv_s. That is two
+    (T, S) VPU passes instead of four. The head-independent QK^T of head
+    i+1 is issued before head i's softmax so MXU and VPU overlap, as in
+    the forward kernel (only QK is prefetched — one more live (T, S) f32
+    buffer busts the 16 MB scoped-VMEM stack at T=1024; e is kept in the
+    compute dtype for the same reason)."""
+    def qk(i):
+        return jax.lax.dot_general(
+            q_ref[i], k_ref[i], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+
+    l_next = qk(0)
     for i in range(group):
-        q = q_ref[i]
-        k = k_ref[i]
-        v = v_ref[i]
-        g = g_ref[i]                                       # (D, T)
-        logits = jax.lax.dot_general(
-            q, k, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale     # (T, S)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)          # f32 (T, S)
-        pl_ = p.astype(v.dtype)
-        dv = jax.lax.dot_general(
-            g, pl_, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (D, S)
+        logits = l_next
+        if i + 1 < group:
+            l_next = qk(i + 1)
         dp = jax.lax.dot_general(
-            g, v, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (T, S)
-        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dl = (dl * scale).astype(q.dtype)
+            g_ref[i], v_ref[i], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (T, S)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        eb = jnp.exp2(logits - m).astype(v_ref.dtype)        # (T, S)
+        inv_s = 1.0 / jnp.sum(eb.astype(jnp.float32), axis=-1, keepdims=True)
+        gp = (g_ref[i].astype(jnp.float32)
+              * inv_s.reshape(1, -1)).astype(g_ref.dtype)    # (D, T)
+        dv = jax.lax.dot_general(
+            gp, eb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (D, S)
+        ef = eb.astype(jnp.float32)
+        c = jnp.sum(dp * ef, axis=-1, keepdims=True) * inv_s
+        dl = ((ef * (dp - c)) * (inv_s * scale)).astype(q_ref.dtype)
         dq = jax.lax.dot_general(
-            k, dl, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (D, T)
+            k_ref[i], dl, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (D, T)
         dk = jax.lax.dot_general(
-            q, dl, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (D, S)
+            q_ref[i], dl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (D, S)
         dq_ref[i] = dq.astype(dq_ref.dtype)
         dk_ref[i] = dk.astype(dk_ref.dtype)
         dv_ref[i] = dv.astype(dv_ref.dtype)
