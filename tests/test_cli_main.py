@@ -49,6 +49,7 @@ def run_main(monkeypatch, module, cfg_path, max_steps=2):
     module.main()
 
 
+@pytest.mark.heavy
 def test_train_ldm_main(monkeypatch, tmp_path, kitti_tree):
     import rangeldm_tpu.train_ldm as mod
     out = str(tmp_path / "ldm_run")
@@ -67,6 +68,7 @@ def test_train_ldm_main(monkeypatch, tmp_path, kitti_tree):
     assert os.path.exists(os.path.join(out, "pipeline", "model_index.json"))
 
 
+@pytest.mark.heavy
 def test_train_vae_main(monkeypatch, tmp_path, kitti_tree):
     import rangeldm_tpu.train_vae as mod
     out = str(tmp_path / "vae_run")

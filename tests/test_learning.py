@@ -14,8 +14,10 @@ from rangeldm_tpu.diffusion.schedule import Schedule
 from rangeldm_tpu.models.unet import UNet2D, UNetConfig
 from rangeldm_tpu.training.ldm_trainer import LdmTrainConfig, make_ldm_train_step
 from rangeldm_tpu.training.train_state import TrainState
+import pytest
 
 
+@pytest.mark.heavy
 def test_pixel_diffusion_overfits_constant_image():
     cfg = UNetConfig(sample_size=(8, 32), in_channels=3, out_channels=2,
                      block_out_channels=(32, 32),
@@ -53,6 +55,7 @@ def test_pixel_diffusion_overfits_constant_image():
     assert all(np.isfinite(l).all() for l in jax.tree.leaves(state.ema_params))
 
 
+@pytest.mark.heavy
 def test_vae_overfits_reconstruction(rng):
     from rangeldm_tpu.models.discriminator import NLayerDiscriminatorMetaKernel
     from rangeldm_tpu.models.vae import AutoencoderKL, VaeConfig

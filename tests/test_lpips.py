@@ -1,5 +1,6 @@
 """LPIPS / darknet perceptual losses: torch parity + loss-branch wiring."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn as nn
@@ -108,6 +109,7 @@ def test_darknet_feature_loss_properties(rng):
     assert float(m.apply(variables, x, y)[0]) > 0.0
 
 
+@pytest.mark.heavy
 def test_vae_loss_optional_branches(rng):
     """true-range math + BEV rec + perceptual wiring through the gen step."""
     import dataclasses

@@ -231,6 +231,7 @@ def test_profiling_helpers(tmp_path):
     assert isinstance(stats, dict)
 
 
+@pytest.mark.heavy
 def test_frd_pipeline_end_to_end(rng):
     """LaserScan projection -> RangeNet (random weights) -> seed-0 Frechet:
     identical scan sets give FRD ~0; disjoint sets give FRD > 0."""

@@ -94,6 +94,7 @@ def test_sliced_encoder_decoder_roundtrip_shapes(rng):
     assert any("conv_in" in jax.tree_util.keystr(kp) for kp, _ in names)
 
 
+@pytest.mark.heavy
 def test_sliced_encoder_grads_finite(rng):
     cfg = SlicedConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
                        z_channels=2, resolution=8)

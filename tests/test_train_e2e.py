@@ -64,6 +64,7 @@ def trainer_cfg(tmp_path):
     })
 
 
+@pytest.mark.heavy
 def test_train_checkpoint_resume_pipeline(trainer_cfg, rng, tmp_path):
     from rangeldm_tpu.train_ldm import LdmTrainer
     from rangeldm_tpu.sample_ldm import load_pipeline, build_sampler, save_outputs
@@ -113,6 +114,7 @@ def test_train_checkpoint_resume_pipeline(trainer_cfg, rng, tmp_path):
     assert len(glob.glob(out + "/*_bev.png")) == 2
 
 
+@pytest.mark.heavy
 def test_train_upsample_conditional(rng, tmp_path):
     from rangeldm_tpu.train_ldm import LdmTrainer
     cfg = Cfg.wrap({
@@ -125,6 +127,7 @@ def test_train_upsample_conditional(rng, tmp_path):
     assert np.isfinite(last["loss"])
 
 
+@pytest.mark.heavy
 def test_train_inpainting_conditional(rng, tmp_path):
     from rangeldm_tpu.train_ldm import LdmTrainer
     cfg = Cfg.wrap({
@@ -148,6 +151,7 @@ def test_train_inpainting_conditional(rng, tmp_path):
         zoo.ZOO["tiny_upsample"] = lambda: TINY_UPSAMPLE
 
 
+@pytest.mark.heavy
 def test_vae_trainer_cli_class(rng, tmp_path):
     from rangeldm_tpu.train_vae import VaeTrainer
     cfg = Cfg.wrap({
@@ -171,6 +175,7 @@ def test_vae_trainer_cli_class(rng, tmp_path):
     assert tr2.resume() >= 2
 
 
+@pytest.mark.heavy
 def test_sample_dump_during_training(rng, tmp_path):
     from rangeldm_tpu.train_ldm import LdmTrainer
     cfg = Cfg.wrap({
@@ -210,6 +215,7 @@ def test_conditional_sampler_cli_path(rng, tmp_path):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.heavy
 def test_full_stack_integration(rng, tmp_path):
     """Projection -> VAE latents -> LDM training -> sampling -> inverse
     projection -> BEV histograms -> MMD/JSD: every subsystem wired together
@@ -256,6 +262,7 @@ def test_full_stack_integration(rng, tmp_path):
     assert 0 <= jsd <= 1
 
 
+@pytest.mark.heavy
 def test_vae_validate_live_and_ema(rng, tmp_path):
     from rangeldm_tpu.train_vae import VaeTrainer
     cfg = Cfg.wrap({

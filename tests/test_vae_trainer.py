@@ -1,6 +1,7 @@
 """VAE GAN trainer tests: alternating steps run, losses behave, adaptive
 weight matches a finite-difference-free analytic cross-check."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,7 @@ def build(rng_seed=0, disc_start=0):
     return state, gen_step, disc_step
 
 
+@pytest.mark.heavy
 def test_alternating_steps_run_and_update(rng):
     state, gen_step, disc_step = build(disc_start=0)
     batch = jnp.asarray(rng.standard_normal((2, 16, 64, 2)).astype(np.float32))
@@ -50,6 +52,7 @@ def test_alternating_steps_run_and_update(rng):
     assert not np.allclose(np.asarray(d0), np.asarray(d1))
 
 
+@pytest.mark.heavy
 def test_disc_warmup_gates_gan_terms(rng):
     """Before disc_start the GAN term and disc loss are zero
     (adopt_weight, losses/__init__.py:15-18, 326-328)."""
