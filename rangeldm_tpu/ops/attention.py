@@ -207,6 +207,13 @@ def attention_mh_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q/k/v: (B, T, C) with C = n_heads * head_dim."""
     b, t, c = q.shape
     hd = c // n_heads
+    if t <= 64:
+        # tiny sequences are kernel-grid-overhead-bound; the materialized
+        # (B*H, T, T) scores are small enough to stay VMEM-resident and XLA
+        # wins (measured 0.36 vs 0.44 ms for the six T=64 layers chained,
+        # BENCHMARKS.md). Also keeps autodiff on the native path.
+        from rangeldm_tpu.models.layers import attention_mh
+        return attention_mh(q, k, v, n_heads)
 
     def split_t(u):
         # (B, T, C) -> (B*H, D, T)
