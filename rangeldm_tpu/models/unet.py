@@ -110,6 +110,29 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+class _ChannelMajorDense(nn.Module):
+    """nn.Dense's parameters (kernel (in, out), bias (out,), same names and
+    inits) applied on the channel axis of a channel-major (B, C, T) tensor:
+    out[b, d, t] = sum_c y[b, c, t] kernel[c, d] + bias[d].
+
+    Used by Attention so the per-head (D, T) sublane layout the Pallas
+    kernel wants falls out of the projection as a *free reshape* of the
+    (B, C, T) output instead of a materialized (B, T, C) -> (B*H, D, T)
+    transpose per q/k/v/out tensor."""
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, yt: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (yt.shape[1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        yt, kernel, bias = nn.dtypes.promote_dtype(yt, kernel, bias,
+                                                   dtype=self.dtype)
+        return jnp.einsum("bct,cd->bdt", yt, kernel) + bias[None, :, None]
+
+
 class Attention(nn.Module):
     """diffusers Attention in its deprecated-AttnBlock configuration:
     GN -> linear q/k/v -> multi-head SDPA (f32 softmax) -> linear out,
@@ -119,6 +142,12 @@ class Attention(nn.Module):
     head_dim-8 configuration is HBM-bound with materialized scores and the
     fusion is a ~3x UNet-forward speedup; numerics are identical.
     `use_fused=None` auto-selects by backend.
+
+    The whole block runs channel-major: one transpose into (B, C, T), the
+    q/k/v/out projections are computed there (_ChannelMajorDense, identical
+    parameters to nn.Dense), the head split (B, C, T) -> (B*H, D, T) is a
+    free reshape, and one transpose back at the end — instead of four
+    layout-changing transposes around the kernel.
     """
     head_dim: int = 8
     groups: int = 32
@@ -128,30 +157,41 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from rangeldm_tpu.ops.attention import (
+            _fused_attention_ad, _plain_attention_t, fused_attention_t,
+        )
         b, h, w, c = x.shape
+        t = h * w
         n_heads = max(c // self.head_dim, 1)
+        hd = c // n_heads
+        scale = float(hd ** -0.5)
         y = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
                          name="group_norm")(x)
-        y = y.reshape(b, h * w, c)
-        q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
-        k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
-        v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
-        from rangeldm_tpu.ops.attention import attention_mh_fused
+        yt = y.reshape(b, t, c).swapaxes(1, 2)               # (B, C, T)
+        qt = _ChannelMajorDense(c, self.dtype, name="to_q")(yt)
+        kt = _ChannelMajorDense(c, self.dtype, name="to_k")(yt)
+        vt = _ChannelMajorDense(c, self.dtype, name="to_v")(yt)
+        # head split: channel index = head * head_dim + d (head-major),
+        # matching attention_mh's reshape(b, t, heads, hd)
+        qt, kt, vt = (u.reshape(b * n_heads, hd, t) for u in (qt, kt, vt))
+
+        small = t <= 64   # grid-overhead-bound; XLA wins (BENCHMARKS.md)
         if self.use_fused is True:
             # interpret mode off-TPU so the forced-fused path stays testable
-            o = attention_mh_fused(q, k, v, n_heads,
+            ot = fused_attention_t(qt, kt, vt, scale=scale,
                                    interpret=jax.default_backend() != "tpu")
-        elif self.use_fused is False:
-            o = attention_mh(q, k, v, n_heads)
+        elif self.use_fused is False or small:
+            ot = _plain_attention_t(qt, kt, vt, scale)
         else:
             # resolve per lowering platform: the Pallas kernel on TPU, the
             # einsum path elsewhere (works under init-on-CPU + jit-on-TPU)
-            o = jax.lax.platform_dependent(
-                q, k, v,
-                tpu=lambda a, b, c: attention_mh_fused(a, b, c, n_heads),
-                default=lambda a, b, c: attention_mh(a, b, c, n_heads))
-        o = nn.Dense(c, dtype=self.dtype, name="to_out_0")(o)
-        return o.reshape(b, h, w, c) + x
+            ot = jax.lax.platform_dependent(
+                qt, kt, vt,
+                tpu=lambda a, b_, c_: _fused_attention_ad(a, b_, c_, scale),
+                default=lambda a, b_, c_: _plain_attention_t(a, b_, c_, scale))
+        ot = ot.reshape(b, c, t)
+        out = _ChannelMajorDense(c, self.dtype, name="to_out_0")(ot)
+        return out.swapaxes(1, 2).reshape(b, h, w, c) + x
 
 
 class Downsample2D(nn.Module):
