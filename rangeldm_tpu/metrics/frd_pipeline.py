@@ -49,6 +49,27 @@ def load_rangenet(model_dir: str):
     return model, variables
 
 
+def _run_batched(fwd, out_dtype, empty_shape, scans, batch_size, h, w):
+    """Project each scan (laserscan geometry + normalization) and run the
+    jitted per-batch `fwd` over batches, concatenating host results."""
+    inputs, outs = [], []
+
+    def flush():
+        if not inputs:
+            return
+        batch = jnp.asarray(np.stack(inputs))
+        outs.append(np.asarray(fwd(batch), out_dtype))
+        inputs.clear()
+
+    for pc in scans:
+        pr, pxyz, prem, pm = laserscan_project(pc[:, :3], pc[:, 3], h=h, w=w)
+        inputs.append(preprocess_scan(pr, pxyz, prem, pm))
+        if len(inputs) == batch_size:
+            flush()
+    flush()
+    return np.concatenate(outs) if outs else np.zeros(empty_shape, out_dtype)
+
+
 def extract_features(model: RangeNet, variables, scans: Iterable[np.ndarray],
                      batch_size: int = 8, h: int = 64,
                      w: int = 1024) -> np.ndarray:
@@ -58,22 +79,8 @@ def extract_features(model: RangeNet, variables, scans: Iterable[np.ndarray],
         feats, _ = model.apply(variables, x)
         return feats
 
-    inputs, feats = [], []
-
-    def flush():
-        if not inputs:
-            return
-        batch = jnp.asarray(np.stack(inputs))
-        feats.append(np.asarray(fwd(batch), np.float32))
-        inputs.clear()
-
-    for pc in scans:
-        pr, pxyz, prem, pm = laserscan_project(pc[:, :3], pc[:, 3], h=h, w=w)
-        inputs.append(preprocess_scan(pr, pxyz, prem, pm))
-        if len(inputs) == batch_size:
-            flush()
-    flush()
-    return np.concatenate(feats) if feats else np.zeros((0, h, w, 32))
+    return _run_batched(fwd, np.float32, (0, h, w, 32), scans, batch_size,
+                        h, w)
 
 
 def extract_labels(model: RangeNet, variables, scans: Iterable[np.ndarray],
@@ -90,22 +97,7 @@ def extract_labels(model: RangeNet, variables, scans: Iterable[np.ndarray],
         _, logits = model.apply(variables, x)
         return jnp.argmax(logits, axis=-1)
 
-    inputs, labels = [], []
-
-    def flush():
-        if not inputs:
-            return
-        batch = jnp.asarray(np.stack(inputs))
-        labels.append(np.asarray(fwd(batch), np.int32))
-        inputs.clear()
-
-    for pc in scans:
-        pr, pxyz, prem, pm = laserscan_project(pc[:, :3], pc[:, 3], h=h, w=w)
-        inputs.append(preprocess_scan(pr, pxyz, prem, pm))
-        if len(inputs) == batch_size:
-            flush()
-    flush()
-    return np.concatenate(labels) if labels else np.zeros((0, h, w), np.int32)
+    return _run_batched(fwd, np.int32, (0, h, w), scans, batch_size, h, w)
 
 
 def _numeric_sorted(files: List[str]) -> List[str]:

@@ -196,15 +196,14 @@ def _bn_to(params, stats, path, sd, key):
 
 
 def convert_rangenet_state_dict(backbone_sd: Dict[str, np.ndarray],
-                                decoder_sd: Dict[str, np.ndarray],
+                                decoder_sd: Optional[Dict[str, np.ndarray]] = None,
                                 head_sd: Optional[Dict[str, np.ndarray]] = None):
-    """Map the released torch state dicts onto RangeNet's variables."""
+    """Map the released torch state dicts onto RangeNet's variables.
+
+    decoder_sd/head_sd may be None/empty for backbone-only consumers
+    (models.lpips.DarknetFeatureLoss loads just the darknet53 backbone)."""
     p: Dict[tuple, np.ndarray] = {}
     s: Dict[tuple, np.ndarray] = {}
-
-    def conv_to(path, key):
-        p[path + ("conv", "kernel")] = t2j_conv_nchw(backbone_sd[key + ".weight"]) \
-            if key + ".weight" in backbone_sd else t2j_conv_nchw(decoder_sd[key + ".weight"])
 
     # backbone
     bb = ("backbone",)
@@ -226,7 +225,7 @@ def convert_rangenet_state_dict(backbone_sd: Dict[str, np.ndarray],
             _bn_to(p, s, tgt + ("c2", "bn"), backbone_sd, rb + ".bn2")
 
     # decoder
-    for i in range(5):
+    for i in range(5) if decoder_sd else ():
         dec = f"dec{5 - i}"
         tgt = (dec,)
         up_w = decoder_sd[f"{dec}.upconv.weight"]          # (in, out, 1, 4)

@@ -177,9 +177,14 @@ class Attention(nn.Module):
 
         small = t <= 64   # grid-overhead-bound; XLA wins (BENCHMARKS.md)
         if self.use_fused is True:
-            # interpret mode off-TPU so the forced-fused path stays testable
-            ot = fused_attention_t(qt, kt, vt, scale=scale,
-                                   interpret=jax.default_backend() != "tpu")
+            if jax.default_backend() == "tpu":
+                # custom-VJP wrapper so the forced-fused path trains
+                ot = _fused_attention_ad(qt, kt, vt, scale)
+            else:
+                # interpret mode off-TPU so the forced path stays testable
+                # (forward-only: pallas interpret has no VJP registered)
+                ot = fused_attention_t(qt, kt, vt, scale=scale,
+                                       interpret=True)
         elif self.use_fused is False or small:
             ot = _plain_attention_t(qt, kt, vt, scale)
         else:

@@ -175,7 +175,6 @@ class LdmTrainer:
         self.ckpt = TrainCheckpointer(
             os.path.join(out_dir, "checkpoints"),
             total_limit=int(cfg.get("checkpoints_total_limit", 10)))
-        self.log_path = os.path.join(out_dir, "train_log.jsonl")
 
     # ------------------------------------------------------------------
     def resume(self) -> int:
@@ -244,26 +243,30 @@ class LdmTrainer:
         def save_now():
             self.ckpt.save(int(self.state.step), jax.device_get(self.state))
 
-        with emergency_checkpoint(save_now):
-            for batch in batches:
-                batch = {k: v for k, v in batch.items()
-                         if k in ("jpg", "down", "masked_image",
-                                  "inpainting_mask")}
-                batch = shard_batch(self.mesh, batch)
-                self.state, metrics = self.train_step(self.state, batch, rng)
-                step = int(self.state.step)
-                if step % log_every == 0 or (max_steps and step >= max_steps):
-                    last = {k: float(v) for k, v in metrics.items()}
-                    last.update(step=step,
-                                sps=step / max(time.perf_counter() - t0, 1e-9))
-                    logger.log(step, last)
-                if step % ckpt_steps == 0:
-                    self.ckpt.save(step, jax.device_get(self.state))
-                if sample_steps and step % int(sample_steps) == 0:
-                    self.dump_samples(step)
-                if max_steps and step >= max_steps:
-                    break
-        logger.close()
+        try:
+            with emergency_checkpoint(save_now):
+                for batch in batches:
+                    batch = {k: v for k, v in batch.items()
+                             if k in ("jpg", "down", "masked_image",
+                                      "inpainting_mask")}
+                    batch = shard_batch(self.mesh, batch)
+                    self.state, metrics = self.train_step(self.state, batch, rng)
+                    step = int(self.state.step)
+                    if step % log_every == 0 or (max_steps and step >= max_steps):
+                        last = {k: float(v) for k, v in metrics.items()}
+                        last.update(step=step,
+                                    sps=step / max(time.perf_counter() - t0, 1e-9))
+                        logger.log(step, last)
+                    if step % ckpt_steps == 0:
+                        self.ckpt.save(step, jax.device_get(self.state))
+                    if sample_steps and step % int(sample_steps) == 0:
+                        self.dump_samples(step)
+                    if max_steps and step >= max_steps:
+                        break
+        finally:
+            # flush the TensorBoard writer even on the crash path the
+            # emergency checkpoint targets
+            logger.close()
         return last
 
     def save_final(self) -> str:

@@ -69,6 +69,15 @@ class VaeTrainer:
             disc_bev=bool(lcfg.get("disc_bev", False)))
         spec = cfg.get("data", {})
         mk = lcfg.get("metakernel", True)
+        if self.loss_cfg.disc_bev and mk:
+            # MetaKernel un-normalizes channel 0 as a range image and builds
+            # per-pixel lidar geometry; feeding it BEV density grids would
+            # train against meaningless geometry. The reference's disc_bev
+            # path only makes sense with the plain PatchGAN.
+            raise ValueError(
+                "loss.disc_bev requires loss.metakernel: false "
+                "(the MetaKernel discriminator interprets channel 0 as a "
+                "normalized range image, not a BEV density grid)")
         if mk == 2:
             self.disc = NLayerDiscriminatorMetaKernel2(
                 range_mean=float(spec.get("mean", 20.0)),
@@ -112,9 +121,27 @@ class VaeTrainer:
         perceptual_fn = None
         if lc.perceptual_weight > 0:
             from rangeldm_tpu.models.lpips import make_perceptual_fn
+            # branch/net pairing mirrors the reference dispatch
+            # (losses/__init__.py:257-292): darknet sees range images,
+            # VGG-LPIPS only ever sees the 3-channel BEV construction, and
+            # the non-BEV non-darknet case is pointcloud 3D-LPIPS (pcdet
+            # CUDA, out of scope).
+            kind = lcfg.get("perceptual_kind",
+                            "vgg" if lc.bev_perceptual else "darknet")
+            if kind == "vgg" and not lc.bev_perceptual:
+                raise ValueError(
+                    "perceptual_kind: vgg needs loss.bev_perceptual: true "
+                    "(the reference's non-BEV perceptual is pointcloud "
+                    "3D-LPIPS, which needs pcdet CUDA ops and is out of "
+                    "scope; use perceptual_kind: darknet for range images)")
+            if kind == "darknet" and lc.bev_perceptual:
+                raise ValueError(
+                    "perceptual_kind: darknet needs loss.bev_perceptual: "
+                    "false (the reference's darknet branch takes precedence "
+                    "over bev_perceptual and sees range images, "
+                    "losses/__init__.py:258-266)")
             perceptual_fn = make_perceptual_fn(
-                cfg.get("lpips_checkpoint"),
-                kind=lcfg.get("perceptual_kind", "vgg"), spec=sensor_spec)
+                cfg.get("lpips_checkpoint"), kind=kind, spec=sensor_spec)
 
         gen_step, disc_step = make_vae_gan_steps(
             self.vae, make_disc_apply(self.disc), self.gen_tx, self.disc_tx,
@@ -127,7 +154,6 @@ class VaeTrainer:
         os.makedirs(out, exist_ok=True)
         self.ckpt = TrainCheckpointer(os.path.join(out, "checkpoints"),
                                       total_limit=3)
-        self.log_path = os.path.join(out, "train_log.jsonl")
 
     def resume(self) -> int:
         restored = self.ckpt.restore(jax.device_get(self.state))
@@ -160,28 +186,32 @@ class VaeTrainer:
         def save_now():
             self.ckpt.save(int(self.state.step), jax.device_get(self.state))
 
-        with emergency_checkpoint(save_now):
-            for batch in batches:
-                x = batch["jpg"] if isinstance(batch, dict) else batch
-                x = shard_batch(self.mesh, x)
-                self.state, gm = self.gen_step(self.state, x, rng)
-                self.state, dm = self.disc_step(self.state, x, rng)
-                step = int(self.state.step)
-                if image_logger is not None and image_logger.should_log(step):
-                    xrec, _, _ = self.vae.apply(
-                        {"params": self.state.gen_params["vae"]}, x,
-                        rng=jax.random.PRNGKey(step))
-                    image_logger.log(step, inputs=jax.device_get(x),
-                                     reconstructions=jax.device_get(xrec))
-                if step % log_every == 0 or (max_steps and step >= max_steps):
-                    last = {k: float(v) for k, v in {**gm, **dm}.items()}
-                    last["step"] = step
-                    logger.log(step, last)
-                if step % ckpt_every == 0:
-                    self.ckpt.save(step, jax.device_get(self.state))
-                if max_steps and step >= max_steps:
-                    break
-        logger.close()
+        try:
+            with emergency_checkpoint(save_now):
+                for batch in batches:
+                    x = batch["jpg"] if isinstance(batch, dict) else batch
+                    x = shard_batch(self.mesh, x)
+                    self.state, gm = self.gen_step(self.state, x, rng)
+                    self.state, dm = self.disc_step(self.state, x, rng)
+                    step = int(self.state.step)
+                    if image_logger is not None and image_logger.should_log(step):
+                        xrec, _, _ = self.vae.apply(
+                            {"params": self.state.gen_params["vae"]}, x,
+                            rng=jax.random.PRNGKey(step))
+                        image_logger.log(step, inputs=jax.device_get(x),
+                                         reconstructions=jax.device_get(xrec))
+                    if step % log_every == 0 or (max_steps and step >= max_steps):
+                        last = {k: float(v) for k, v in {**gm, **dm}.items()}
+                        last["step"] = step
+                        logger.log(step, last)
+                    if step % ckpt_every == 0:
+                        self.ckpt.save(step, jax.device_get(self.state))
+                    if max_steps and step >= max_steps:
+                        break
+        finally:
+            # flush the TensorBoard writer even on the crash path the
+            # emergency checkpoint targets
+            logger.close()
         return last
 
     def validate(self, batches, max_batches: int = 50) -> dict:

@@ -107,3 +107,32 @@ def test_vae_trainer_loss_branch_plumbing(tmp_path):
     assert lc.encoding == "log" and lc.use_rec_loss_true
     assert lc.bev_rec_weight == 0.25 and lc.perceptual_weight == 0.1
     assert lc.bev_perceptual
+
+
+def test_vae_trainer_invalid_perceptual_pairings(tmp_path):
+    """The branch/net pairing mirrors the reference dispatch
+    (losses/__init__.py:257-292); invalid combinations fail fast instead of
+    crashing at trace time (vgg on NHWC range images) or silently training
+    against garbage geometry (MetaKernel on BEV grids)."""
+    from rangeldm_tpu.train_vae import VaeTrainer
+    from rangeldm_tpu.utils.config import Cfg
+
+    base = {"output_dir": str(tmp_path / "v"), "batch_size": 8,
+            "image_size": [32, 64],
+            "vae": {"ch": 32, "ch_mult": [1, 2], "z_channels": 4}}
+
+    with pytest.raises(ValueError, match="bev_perceptual"):
+        VaeTrainer(Cfg.wrap({**base, "loss": {
+            "metakernel": False, "perceptual_weight": 0.1,
+            "perceptual_kind": "vgg", "bev_perceptual": False}}))
+    with pytest.raises(ValueError, match="darknet"):
+        VaeTrainer(Cfg.wrap({**base, "loss": {
+            "metakernel": False, "perceptual_weight": 0.1,
+            "perceptual_kind": "darknet", "bev_perceptual": True}}))
+    with pytest.raises(ValueError, match="metakernel"):
+        VaeTrainer(Cfg.wrap({**base, "loss": {"disc_bev": True}}))
+    # defaulted kind follows the branch: bev -> vgg, range image -> darknet
+    tr = VaeTrainer(Cfg.wrap({**base, "loss": {
+        "metakernel": False, "perceptual_weight": 0.1,
+        "bev_perceptual": False}}))
+    assert tr.loss_cfg.perceptual_weight == 0.1

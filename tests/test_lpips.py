@@ -1,5 +1,7 @@
 """LPIPS / darknet perceptual losses: torch parity + loss-branch wiring."""
 
+import os
+
 import pytest
 import numpy as np
 import torch
@@ -211,3 +213,33 @@ def test_vae_loss_disc_bev(rng):
     state, dm = disc_step(state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(gm["total_loss"]))
     assert np.isfinite(float(dm["disc_loss"]))
+
+
+@pytest.mark.heavy
+def test_darknet_perceptual_loads_backbone_checkpoint(tmp_path):
+    """make_perceptual_fn(kind='darknet') with a real torch backbone file:
+    the converter must accept a backbone-only state dict (no decoder/head)
+    and the loaded features must differ from random init (regression: the
+    decoder loop used to KeyError on the empty decoder_sd)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_rangenet_parity import TBackbone, randomize, sd_numpy
+
+    from rangeldm_tpu.geometry import get_spec
+    from rangeldm_tpu.models.lpips import make_perceptual_fn
+
+    gen = torch.Generator().manual_seed(3)
+    bb = TBackbone()
+    randomize(bb, gen)
+    ckpt = tmp_path / "backbone"
+    torch.save({k: torch.from_numpy(v) for k, v in sd_numpy(bb).items()},
+               str(ckpt))
+
+    spec = get_spec("kitti360")
+    fn = make_perceptual_fn(str(ckpt), kind="darknet", spec=spec)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 2)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((1, 64, 64, 2)).astype(np.float32))
+    d = np.asarray(fn(x, y))
+    assert d.shape == (1,) and np.isfinite(d).all() and d[0] > 0
+    assert np.asarray(fn(x, x))[0] == 0.0
