@@ -20,10 +20,6 @@ from rangeldm_tpu.convert.torch_common import (
 )
 from rangeldm_tpu.models.unet import UNetConfig
 
-_LINEAR_MODULES = {"to_q", "to_k", "to_v", "to_out_0", "time_emb_proj",
-                   "time_embedding_linear_1", "time_embedding_linear_2"}
-
-
 def _module_path(key: str) -> str:
     key = re.sub(r"(down_blocks|up_blocks)\.(\d+)", r"\1_\2", key)
     key = re.sub(r"(resnets|attentions)\.(\d+)", r"\1_\2", key)
@@ -39,7 +35,6 @@ def convert_diffusers_unet_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     for key, val in sd.items():
         base, leaf = key.rsplit(".", 1)
         path = _module_path(base)
-        module = path.rsplit("/", 1)[-1]
         if leaf == "weight":
             if val.ndim == 4:
                 assign(params, path + "/kernel", t2j_conv(val))

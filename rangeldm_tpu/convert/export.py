@@ -12,13 +12,12 @@ from typing import Dict
 
 import numpy as np
 
+from rangeldm_tpu.convert.torch_common import t2j_conv, t2j_linear
 
-def j2t_conv(k: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(np.transpose(k, (3, 2, 1, 0)))
-
-
-def j2t_linear(k: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(np.transpose(k, (1, 0)))
+# The layout transposes are involutions: torch->jax and jax->torch are the
+# same permutation. One definition (torch_common) avoids drift.
+j2t_conv = t2j_conv
+j2t_linear = t2j_linear
 
 
 def _flatten(tree: Dict, prefix=()):
@@ -29,16 +28,11 @@ def _flatten(tree: Dict, prefix=()):
             yield prefix + (k,), np.asarray(v)
 
 
-_LINEAR_MODULES = {"to_q", "to_k", "to_v", "to_out_0", "time_emb_proj",
-                   "time_embedding_linear_1", "time_embedding_linear_2"}
-
-
 def export_unet_state_dict(params: Dict) -> Dict[str, np.ndarray]:
     """Our UNet2D params -> diffusers UNet2DModel flat state dict."""
     out = {}
     for path, leaf in _flatten(params):
         *mods, leaf_name = path
-        module = mods[-1] if mods else ""
         key = ".".join(mods)
         # undo the '_' nesting renames
         key = key.replace("time_embedding_linear_1", "time_embedding.linear_1")

@@ -76,9 +76,11 @@ class Schedule:
         return 1.0
 
     def _acp(self, t):
-        """alpha_cumprod[t] with t < 0 -> 1.0 (final_alpha_cumprod)."""
+        """alpha_cumprod[t] with t < 0 -> final_alpha_cumprod (diffusers
+        DDIM: 1.0 when set_alpha_to_one, else alphas_cumprod[0])."""
+        final = 1.0 if self.cfg.set_alpha_to_one else self.alphas_cumprod[0]
         safe = jnp.clip(t, 0, self.cfg.num_train_timesteps - 1)
-        return jnp.where(t < 0, 1.0, self.alphas_cumprod[safe])
+        return jnp.where(t < 0, final, self.alphas_cumprod[safe])
 
     def _bc(self, v, ref):
         """broadcast (B,) scalars over trailing dims of ref."""

@@ -27,17 +27,24 @@ def to_point_cloud(images: jnp.ndarray, spec: SensorSpec) -> jnp.ndarray:
     """(B, H, W, C>=1) range images -> (B, H*W, 3 or 4) point clouds.
 
     Channel 0 is the normalized/encoded range, channel 1 (if present) the
-    remission copied through verbatim. Negative decoded ranges snap to the
-    fill value, matching ldm/dataset.py:255.
+    remission copied through verbatim. For the table specs negative decoded
+    ranges snap to the fill value (ldm/dataset.py:255); the vanilla/uniform
+    spec keeps them, matching its own to_pc_torch which performs no snap
+    (ldm/kitti360_range_image_vanilla.py:34-81).
     """
     b, h, w, c = images.shape
     r = decode_range(images[..., 0], spec, xp=jnp)       # (B, H, W)
-    r = jnp.where(r < 0, spec.range_fill, r)
+    if spec.row_mode != "uniform":
+        r = jnp.where(r < 0, spec.range_fill, r)
 
     zenith = jnp.asarray(spec.zenith)                     # (H,)
     height = jnp.asarray(spec.height)                     # (H,)
     # azimuth of column j (ldm/dataset.py:265)
-    azi = (w - 0.5 - jnp.arange(w, dtype=images.dtype)) / w * 2.0 * jnp.pi - jnp.pi
+    # column table in f32: building it in a low-precision input dtype would
+    # quantize the indices themselves (bf16 rounds 512..1023 to multiples
+    # of 4 -> ~0.6 m lateral error at 50 m)
+    azi = ((w - 0.5 - jnp.arange(w, dtype=jnp.float32)) / w * 2.0 * jnp.pi
+           - jnp.pi).astype(jnp.promote_types(images.dtype, jnp.float32))
 
     z = height[None, :, None] + r * jnp.sin(zenith)[None, :, None]
     xy = r * jnp.cos(zenith)[None, :, None]

@@ -154,3 +154,23 @@ def test_voxelize_single_point_trilinear():
     # features normalized by density -> constant 2 where density > 0
     feat = np.asarray(feat).reshape(4, 4)
     np.testing.assert_allclose(feat[dens > 0], 2.0, atol=1e-4)
+
+
+def test_vanilla_inverse_keeps_negative_ranges():
+    """The vanilla/uniform to_pc_torch performs no negative-range snap
+    (ldm/kitti360_range_image_vanilla.py:34-81); only the table specs snap
+    to range_fill (ldm/dataset.py:255)."""
+    import jax.numpy as jnp
+    from rangeldm_tpu.geometry import get_spec
+    from rangeldm_tpu.geometry.inverse import to_point_cloud
+
+    img = jnp.full((1, 64, 8, 1), -0.9, jnp.float32)  # decodes negative
+    van = get_spec("kitti360_vanilla")
+    kit = get_spec("kitti360")
+    # vanilla: r = -0.9*std+mean = -16 is kept (mirrored through the
+    # origin), NOT snapped to range_fill=100
+    pc_v = np.asarray(to_point_cloud(img, van))
+    assert np.abs(np.linalg.norm(pc_v[..., :2], axis=-1)).max() < 20.0
+    # table spec: snapped to range_fill -> far from origin
+    pc_k = np.asarray(to_point_cloud(img, kit))
+    assert np.linalg.norm(pc_k[..., :2], axis=-1).max() > 50.0

@@ -238,3 +238,29 @@ def test_denoise_eta_positive_end_to_end(rng):
     out = ddim_sample(model_fn, sch, jax.random.PRNGKey(0), (2, 4, 8, 2),
                       num_steps=5, eta=0.8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ddim_final_alpha_respects_set_alpha_to_one():
+    """diffusers DDIM: final_alpha_cumprod is alphas_cumprod[0] when
+    set_alpha_to_one=false — the last step (t_prev < 0) must differ from
+    the set_alpha_to_one=true schedule (regression: the flag was parsed
+    but ignored)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rangeldm_tpu.diffusion.schedule import Schedule, ScheduleConfig
+
+    s1 = Schedule.create(ScheduleConfig(set_alpha_to_one=True))
+    s0 = Schedule.create(ScheduleConfig(set_alpha_to_one=False))
+    x = jnp.ones((1, 2, 2, 1)) * 0.3
+    eps = jnp.ones_like(x) * 0.1
+    t = jnp.array([19])
+    tp = jnp.array([-1])
+    a1 = np.asarray(s1.ddim_step(eps, t, tp, x))
+    a0 = np.asarray(s0.ddim_step(eps, t, tp, x))
+    assert not np.allclose(a1, a0)
+    # set_alpha_to_one=False's final alpha is alphas_cumprod[0]
+    acp0 = float(s0.alphas_cumprod[0])
+    x0_pred = (x - np.sqrt(1 - float(s0.alphas_cumprod[19])) * eps) \
+        / np.sqrt(float(s0.alphas_cumprod[19]))
+    expect = np.sqrt(acp0) * x0_pred + np.sqrt(1 - acp0) * eps
+    np.testing.assert_allclose(a0, expect, rtol=1e-5, atol=1e-6)
