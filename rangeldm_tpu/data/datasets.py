@@ -133,8 +133,13 @@ class RangeImageDataset:
                 img, mask, cw = range_image_np(pts, self.spec)
             if self.cfg.cache:
                 Path(cache).parent.mkdir(parents=True, exist_ok=True)
-                np.savez_compressed(cache, jpg=img, mask=mask,
+                # atomic write: a preempted/concurrent run must never leave
+                # a truncated zip at the cache path (it would poison every
+                # later epoch with BadZipFile)
+                tmp = cache + f".tmp-{os.getpid()}.npz"
+                np.savez_compressed(tmp, jpg=img, mask=mask,
                                     car_window_mask=cw)
+                os.replace(tmp, cache)
         img = img[..., :self.cfg.used_feature]
         if self.cfg.coord:
             h = img.shape[0]
@@ -200,9 +205,13 @@ class RangeLoader:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)
         if self.shard_by_process:
             # multi-host: each process reads a disjoint slice of the epoch
-            # (same seed everywhere so the global permutation agrees)
+            # (same seed everywhere so the global permutation agrees). Every
+            # shard is truncated to the common minimum length — otherwise
+            # hosts disagree on the number of batches and the surplus host
+            # enters a train-step collective nobody else joins (deadlock).
             import jax
-            order = order[jax.process_index()::jax.process_count()]
+            n_common = len(order) // jax.process_count()
+            order = order[jax.process_index()::jax.process_count()][:n_common]
         return order
 
     def __len__(self):
@@ -219,19 +228,53 @@ class RangeLoader:
         nb = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         pool = ThreadPoolExecutor(self.num_threads)
+        stop = threading.Event()
+        end = object()
+
+        def put(item) -> bool:
+            """Bounded put that gives up once the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
-            for b in range(nb):
-                idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-                samples = list(pool.map(self.dataset.__getitem__, idx))
-                q.put(collate(samples))
-            q.put(None)
+            # Exceptions are forwarded to the consumer — a dead producer
+            # that never enqueues its sentinel would otherwise hang the
+            # training loop on q.get() forever.
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    samples = list(pool.map(self.dataset.__getitem__, idx))
+                    if not put(collate(samples)):
+                        return
+                put(end)
+            except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
+                put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        pool.shutdown(wait=False)
+        try:
+            while True:
+                item = q.get()
+                if item is end:
+                    break
+                if isinstance(item, BaseException):
+                    raise RuntimeError("RangeLoader producer failed") from item
+                yield item
+        finally:
+            # consumers may break mid-epoch (sample CLIs, eval loops):
+            # release the producer (it may be blocked on a full queue) and
+            # the pool instead of leaking a thread set per abandoned epoch
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            pool.shutdown(wait=False, cancel_futures=True)

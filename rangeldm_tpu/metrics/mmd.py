@@ -37,11 +37,34 @@ def _mmd_jit(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
             - 2.0 * _mean_kernel(x, y, sigma))
 
 
-def compute_mmd(hists_a, hists_b) -> float:
+def _mean_kernel_np(a: np.ndarray, b: np.ndarray, sigma: float) -> float:
+    d2 = (np.sum(a * a, axis=1)[:, None] + np.sum(b * b, axis=1)[None, :]
+          - 2.0 * (a @ b.T))
+    np.maximum(d2, 0.0, out=d2)
+    return float(np.mean(np.exp(-d2 / (2.0 * sigma * sigma))))
+
+
+def compute_mmd(hists_a, hists_b, device: bool = False) -> float:
     """MMD^2 between two sets of (bins, bins) histograms
-    (reference set first, per mmd.py:123)."""
-    a = jnp.asarray(np.stack([np.asarray(h, np.float64) for h in hists_a])
-                    .reshape(len(hists_a), -1).astype(np.float32))
-    b = jnp.asarray(np.stack([np.asarray(h, np.float64) for h in hists_b])
-                    .reshape(len(hists_b), -1).astype(np.float32))
-    return float(_mmd_jit(a, b))
+    (reference set first, per mmd.py:123).
+
+    Default is the host float64 path — benchmark MMD^2 values are O(1e-4)
+    while each mean-kernel term is O(1), so the k_xx + k_yy - 2 k_xy
+    cancellation loses ~0.1-1% in float32; the reference accumulates in
+    numpy float64. device=True uses the f32 TPU matmul path (fast, for
+    in-training monitoring)."""
+    if device:
+        a = jnp.asarray(np.stack([np.asarray(h, np.float64) for h in hists_a])
+                        .reshape(len(hists_a), -1).astype(np.float32))
+        b = jnp.asarray(np.stack([np.asarray(h, np.float64) for h in hists_b])
+                        .reshape(len(hists_b), -1).astype(np.float32))
+        return float(_mmd_jit(a, b))
+    a = np.stack([np.asarray(h, np.float64) for h in hists_a]).reshape(
+        len(hists_a), -1)
+    b = np.stack([np.asarray(h, np.float64) for h in hists_b]).reshape(
+        len(hists_b), -1)
+    a = a / np.sum(a, axis=1, keepdims=True)
+    b = b / np.sum(b, axis=1, keepdims=True)
+    sigma = 0.5
+    return (_mean_kernel_np(a, a, sigma) + _mean_kernel_np(b, b, sigma)
+            - 2.0 * _mean_kernel_np(a, b, sigma))

@@ -9,6 +9,7 @@ Usage:
 from __future__ import annotations
 
 import ctypes
+import threading
 import os
 import subprocess
 from typing import Optional, Tuple
@@ -19,6 +20,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libprojection.so")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_load_lock = threading.Lock()
 
 _ROW_MODES = {"kitti": 0, "ring": 1, "uniform": 2}
 
@@ -44,8 +46,21 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
+    with _load_lock:
+        if _lib is not None or _tried:   # lost the race: another thread won
+            return _lib
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    """Build+load under _load_lock — concurrent loader threads must not run
+    two `make` builds over the same .so and CDLL a half-written file."""
+    global _lib, _tried
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
+    src = os.path.join(_DIR, "projection.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if (not os.path.exists(_LIB_PATH) or stale) and not _build():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -57,7 +72,7 @@ def _load() -> Optional[ctypes.CDLL]:
         f32p, ctypes.c_int64, ctypes.c_int64, f32p, f32p, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_float, ctypes.c_float, ctypes.c_float,
-        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         f32p, u8p, u8p]
     _lib = lib
     return lib
@@ -88,5 +103,6 @@ def range_image_native(pc: np.ndarray, spec) -> Tuple[np.ndarray, np.ndarray,
         spec.n_beams, spec.width, _ROW_MODES[spec.row_mode], encoding,
         float(spec.fov_up), float(spec.fov_down), float(spec.min_depth),
         float(spec.range_fill), float(spec.mean), float(spec.std),
+        float(spec.intensity_fill),
         image, mask, cw)
     return image, mask.astype(bool), cw.astype(bool)

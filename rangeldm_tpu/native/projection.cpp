@@ -58,6 +58,7 @@ void project_scan(const float* pc, int64_t n, int64_t stride,
                   int width, int row_mode, int encoding,
                   float fov_up, float fov_down, float min_depth,
                   float range_fill, float mean, float stdv,
+                  float intensity_fill,
                   float* image, uint8_t* mask, uint8_t* car_window) {
   const int h = n_beams, w = width;
   const int64_t npix = (int64_t)h * w;
@@ -144,7 +145,10 @@ void project_scan(const float* pc, int64_t n, int64_t stride,
     ranges[i] = r;
   }
 
-  // nearest-wins scatter (serial; tie-break = smallest index)
+  // nearest-wins scatter (serial). Tie-break: the numpy path writes a
+  // stable descending-range sort far-to-near, so among equal ranges the
+  // LARGEST original index lands last and wins — <= reproduces that here
+  // (ascending i, equal range overwrites).
   for (int64_t i = 0; i < n; ++i) {
     if (min_depth > 0.0f) {
       const float x = pc[i * stride + 0];
@@ -153,8 +157,7 @@ void project_scan(const float* pc, int64_t n, int64_t stride,
       if (std::sqrt(x * x + y * y + z * z) <= min_depth) continue;
     }
     const int64_t p = (int64_t)rows[i] * w + cols[i];
-    if (ranges[i] < best_r[p] ||
-        (ranges[i] == best_r[p] && (best_i[p] < 0 || i < best_i[p]))) {
+    if (ranges[i] <= best_r[p]) {
       best_r[p] = ranges[i];
       best_i[p] = i;
     }
@@ -222,7 +225,7 @@ void project_scan(const float* pc, int64_t n, int64_t stride,
   for (int64_t p = 0; p < npix; ++p) {
     if (image[p * 2] == -1.0f) {
       image[p * 2 + 0] = fill_r;
-      image[p * 2 + 1] = 0.0f;
+      image[p * 2 + 1] = intensity_fill;
     }
   }
   if (encoding == 0) {

@@ -57,8 +57,13 @@ def save_pipeline(directory: str, *, unet_params, unet_cfg,
 
     def dump(name, params, cfg):
         path = os.path.join(directory, name)
-        ckpt.save(os.path.abspath(path) + "/params",
-                  jax.tree.map(np.asarray, params))
+        params_path = os.path.abspath(path) + "/params"
+        if os.path.exists(params_path):
+            # re-running save_final after resume must refresh the artifact;
+            # orbax refuses to overwrite an existing path
+            import shutil
+            shutil.rmtree(params_path)
+        ckpt.save(params_path, jax.tree.map(np.asarray, params))
         if cfg is not None:
             with open(os.path.join(directory, name, "config.json"), "w") as f:
                 json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)

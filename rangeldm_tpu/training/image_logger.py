@@ -53,8 +53,12 @@ class ImageLogger:
         self.every = every
         self.max_images = max_images
         self.mean, self.std = mean, std
-        self.steps = {every * 2 ** n for n in range(20)} if increase_log_steps \
-            else set()
+        # reference log-scale early steps: 1, 2, 4, ..., up to `every`
+        # (vae/main.py:329-331 log_steps = [2**n for n in range(log2(freq))])
+        import math
+        self.steps = ({2 ** n for n in
+                       range(int(math.log2(max(every, 1))) + 1)}
+                      if increase_log_steps else set())
         self.steps |= {1}
 
     def should_log(self, step: int) -> bool:

@@ -1,5 +1,7 @@
 """Dataset/loader tests over a synthetic on-disk KITTI-360 tree."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -108,3 +110,68 @@ def test_stf_dataset(tmp_path, rng):
     assert s["jpg"].shape == (64, 1024, 2)
     assert np.isfinite(s["jpg"]).all()
     assert len(RangeImageDataset(cfg, train=False)) == 1
+
+
+def test_loader_propagates_producer_errors(tmp_path):
+    """A failing sample must raise in the consumer, not hang the training
+    loop forever on q.get() (the producer used to die before its sentinel)."""
+    from rangeldm_tpu.data.datasets import RangeLoader
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise OSError(f"corrupt sample {i}")
+
+    loader = RangeLoader(Broken(), batch_size=4, shuffle=False)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(iter(loader))
+
+
+def test_loader_early_break_releases_threads(tmp_path):
+    """Breaking out of an epoch (sample CLIs) must shut the pool/producer
+    down instead of leaking blocked threads per abandoned epoch."""
+    import threading
+
+    from rangeldm_tpu.data.datasets import RangeLoader
+
+    class Tiny:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"jpg": np.zeros((4, 8, 2), np.float32)}
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(RangeLoader(Tiny(), batch_size=4, shuffle=False,
+                              prefetch=2))
+        next(it)
+        it.close()                       # generator finalization
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 2
+
+
+def test_multihost_shards_equal_length(monkeypatch):
+    """Shards must agree on batch count across hosts (a surplus batch on one
+    host deadlocks the collective)."""
+    import jax
+
+    from rangeldm_tpu.data.datasets import RangeLoader
+
+    class Tiny:
+        def __len__(self):
+            return 77
+
+        def __getitem__(self, i):
+            return {"jpg": np.zeros((2, 2, 2), np.float32)}
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    lens = []
+    for pi in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        loader = RangeLoader(Tiny(), batch_size=4, shuffle=False,
+                             shard_by_process=True)
+        lens.append(len(loader))
+    assert len(set(lens)) == 1

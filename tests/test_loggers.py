@@ -43,3 +43,16 @@ def test_emergency_checkpoint_no_save_on_success():
     with emergency_checkpoint(lambda: saved.append(1), signum=None):
         pass
     assert saved == []
+
+
+def test_image_logger_log_scale_early_steps(tmp_path):
+    """Reference increase_log_steps semantics (vae/main.py:329-331): dense
+    powers of two UP TO `every`, not multiples of `every` (which would be
+    absorbed by the modulo and never add early dumps)."""
+    from rangeldm_tpu.training.image_logger import ImageLogger
+
+    lg = ImageLogger(str(tmp_path), every=1000)
+    early = [s for s in range(1, 1000) if lg.should_log(s)]
+    assert early == [1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
+    assert lg.should_log(1000) and lg.should_log(2000)
+    assert not lg.should_log(1500)

@@ -56,3 +56,19 @@ def test_native_faster_than_numpy(rng):
     t_numpy = best_of(lambda: range_image_np(pc, spec))
     # typically 5-20x; leave headroom for loaded CI machines
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+def test_native_tie_break_matches_numpy(rng):
+    """Equal-range duplicate returns in one pixel: the numpy path's stable
+    descending sort writes the largest original index last (it wins); the
+    native scatter must agree or cached datasets differ across machines."""
+    spec = get_spec("kitti360")
+    base = synthetic_scan(rng, n=2000)
+    # duplicate every point with a different intensity (same xyz -> same
+    # pixel, same range); the later copy must win in both paths
+    dup = base.copy()
+    dup[:, 3] = base[:, 3] + 0.25
+    pc = np.concatenate([base, dup])
+    img_n, _, _ = native.range_image_native(pc, spec)
+    img_p, _, _ = range_image_np(pc, spec)
+    np.testing.assert_allclose(img_n, img_p, rtol=1e-5, atol=1e-5)
