@@ -60,8 +60,9 @@ def evaluate(vae, params, batches, spec, count: int = 1000,
             r = (v[..., 0] * spec.std + spec.mean) / spec.range_fill
             return jnp.stack([r, v[..., 1]], axis=-1)
         xu, ru = to_unit(x), to_unit(xrec)
-        err = jnp.mean(jnp.abs(xu - ru), axis=(1, 2, 3))
-        mse = jnp.mean((xu - ru) ** 2, axis=(1, 2, 3))
+        take = min(x.shape[0], count - seen)   # keep all metrics on the
+        err = jnp.mean(jnp.abs(xu - ru), axis=(1, 2, 3))[:take]
+        mse = jnp.mean((xu - ru) ** 2, axis=(1, 2, 3))[:take]
         mae += float(jnp.sum(err))
         psnr += float(jnp.sum(10 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))))
 
@@ -74,7 +75,7 @@ def evaluate(vae, params, batches, spec, count: int = 1000,
             av = jnp.linalg.norm(a, axis=1) < 70.0
             bv = jnp.linalg.norm(b, axis=1) < 70.0
             cd += float(chamfer_distance(a, b, av, bv))
-        seen += x.shape[0]
+        seen += take
         if seen >= count:
             break
     n = min(seen, count)

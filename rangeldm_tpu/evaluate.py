@@ -34,6 +34,8 @@ def kitti_reference_files(count: int):
                              "velodyne_points/data/*")
     files += glob.glob(root + "/data_3d_raw/2013_05_28_drive_0002_sync/"
                               "velodyne_points/data/*")
+    files.sort()   # glob order is filesystem-dependent; the seeded shuffle
+    # must permute a deterministic base order to be reproducible
     random.Random(0).shuffle(files)
     return files[:count]
 
@@ -101,7 +103,7 @@ def main(argv=None):
     if args.frd:
         from rangeldm_tpu.metrics.frd_pipeline import compute_frd_for_dirs
         results["frd"] = compute_frd_for_dirs(
-            args.exp, ref_fn(args.limit), args.rangenet)
+            args.exp, ref_fn(args.limit), args.rangenet, limit=args.limit)
 
     if args.iou or args.accuracy:
         from rangeldm_tpu.metrics.frd_pipeline import (

@@ -139,12 +139,12 @@ class NLayerDiscriminator(nn.Module):
         h = leaky_relu(h)
         nf, idx = 1, 2
         for n in range(1, self.n_layers):
-            nf_prev, nf = nf, min(2 ** n, 8)
+            nf = min(2 ** n, 8)
             h = conv(self.ndf * nf, 2, f"main_{idx}")(h)
             h = bn(f"main_{idx + 1}")(h)
             h = leaky_relu(h)
             idx += 3
-        nf_prev, nf = nf, min(2 ** self.n_layers, 8)
+        nf = min(2 ** self.n_layers, 8)
         h = conv(self.ndf * nf, 1, f"main_{idx}")(h)
         h = bn(f"main_{idx + 1}")(h)
         h = leaky_relu(h)

@@ -176,9 +176,10 @@ def make_perceptual_fn(checkpoint: Optional[str] = None, kind: str = "vgg",
     """Build a `perceptual_fn(x, y) -> (B,)` for the VAE loss.
 
     kind='vgg': inputs are channel-first 3-channel images (the BEV
-    _bev_three_channel layout). kind='darknet': inputs are channel-first
-    range images; the 5-channel [range, xyz, remission] tensor is built via
-    the inverse projection (requires `spec`).
+    _bev_three_channel layout). kind='darknet': inputs are NHWC range
+    images (the loss's non-BEV branch passes batch/xrec as-is); the
+    5-channel [range, xyz, remission] tensor is built via the inverse
+    projection (requires `spec`).
     """
     if kind == "vgg":
         model = LPIPS()

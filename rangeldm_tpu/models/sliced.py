@@ -63,7 +63,6 @@ class SlicedConv(nn.Module):
         groups = hp // 2
         in_pg = 2 * c
         out_total = (self.out_channels // s) * hp
-        out_pg = out_total // groups
 
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),

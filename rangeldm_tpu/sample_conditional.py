@@ -22,8 +22,8 @@ import numpy as np
 
 from rangeldm_tpu.data.datasets import DatasetConfig, RangeImageDataset, RangeLoader
 from rangeldm_tpu.models.layers import pixel_unshuffle_azimuth
-from rangeldm_tpu.pipelines.samplers import denoise
-from rangeldm_tpu.sample_ldm import load_pipeline
+from rangeldm_tpu.pipelines.samplers import conditional_latent_sample
+from rangeldm_tpu.sample_ldm import load_any_pipeline
 from rangeldm_tpu.training.conditions import encode_masked_image_cond
 from rangeldm_tpu.utils.cache import enable_compilation_cache
 
@@ -50,12 +50,13 @@ def build_conditional_sampler(pipe, batch_size: int, mode: str,
             cond = encode_masked_image_cond(
                 vae, vp, sf, cond_inputs["masked_image"].astype(dtype),
                 cond_inputs["inpainting_mask"].astype(dtype), sub)
-        rng, init = jax.random.split(rng)
-        latents = jax.random.normal(
-            init, (batch_size, h, w, cfg.out_channels), dtype)
-        latents = denoise(unet_fn, pipe["schedule"], latents, num_steps, rng,
-                          cond=cond)
-        return vae.apply(vp, latents / sf, method="decode")
+        # one shared sampler with the unconditional CLI: init_noise_sigma
+        # scaling, /scaling_factor, and decode all live in one place
+        return conditional_latent_sample(
+            unet_fn, lambda z: vae.apply(vp, z, method="decode"),
+            pipe["schedule"], rng,
+            (batch_size, h, w, cfg.out_channels), sf, cond,
+            num_steps=num_steps, dtype=dtype)
 
     return sample
 
@@ -78,7 +79,7 @@ def main():
     args = ap.parse_args()
 
     enable_compilation_cache()
-    pipe = load_pipeline(args.pipeline)
+    pipe = load_any_pipeline(args.pipeline)
     sample = build_conditional_sampler(pipe, args.batch_size, args.mode,
                                        args.steps, args.factor)
 

@@ -31,6 +31,21 @@ from rangeldm_tpu.training.checkpoint import load_pipeline_component
 from rangeldm_tpu.utils.cache import enable_compilation_cache, init_on_cpu
 
 
+def is_diffusers_pipeline(path: str) -> bool:
+    """Released HF layout: unet/ ships torch weights (safetensors or the
+    .bin fallback both loaders support) instead of an orbax params tree."""
+    return any(os.path.exists(os.path.join(path, "unet", f))
+               for f in ("diffusion_pytorch_model.safetensors",
+                         "diffusion_pytorch_model.bin"))
+
+
+def load_any_pipeline(path: str, dtype=jnp.bfloat16):
+    """Route to the HF-released or native-orbax loader by directory layout."""
+    if is_diffusers_pipeline(path):
+        return load_diffusers_pipeline(path, dtype=dtype)
+    return load_pipeline(path, dtype=dtype)
+
+
 def load_pipeline(path: str, dtype=jnp.bfloat16, use_ema: bool = True):
     """Load a pipeline dir written by save_pipeline."""
     with open(os.path.join(path, "model_index.json")) as f:
@@ -168,14 +183,14 @@ def save_outputs(images: np.ndarray, spec, out_dir: str, start_idx: int,
                  max_depth: float = 90.0, write_png: bool = True):
     """Back-project and write .bin/.png per sample (ldm/inference.py:159-183)."""
     from PIL import Image
+    from rangeldm_tpu.geometry.inverse import to_point_cloud_masked
     imgs = jnp.asarray(images, jnp.float32)
-    pcs = np.asarray(to_point_cloud(imgs, spec))
+    pcs_j, valid_j = to_point_cloud_masked(imgs, spec, max_depth=max_depth)
+    pcs, valid = np.asarray(pcs_j), np.asarray(valid_j)
     bev = np.asarray(to_voxel(imgs, spec))
     os.makedirs(out_dir, exist_ok=True)
     for j in range(images.shape[0]):
-        pc = pcs[j]
-        depth = np.linalg.norm(pc[:, :3], axis=1)
-        pc[depth < max_depth].astype(np.float32).tofile(
+        pcs[j][valid[j]].astype(np.float32).tofile(
             os.path.join(out_dir, f"{start_idx + j}.bin"))
         if write_png:
             b = np.clip(bev[j, 0], 0, 1) * 255
@@ -202,17 +217,14 @@ def main():
     args = ap.parse_args()
 
     enable_compilation_cache()
-    if os.path.exists(os.path.join(args.pipeline, "unet",
-                                   "diffusion_pytorch_model.safetensors")):
-        pipe = load_diffusers_pipeline(args.pipeline)   # released HF format
-    else:
-        pipe = load_pipeline(args.pipeline)
+    pipe = load_any_pipeline(args.pipeline)
     sample = build_sampler(pipe, args.batch_size, args.steps, args.method)
     spec = get_spec(args.sensor)
 
     # per-process sharding of the sample range (ldm/inference.py:159, 174)
     proc, nproc = jax.process_index(), jax.process_count()
     n_batches = -(-args.samples // args.batch_size)
+    written = 0
     for b in range(proc, n_batches, nproc):
         rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), b)
         imgs = np.asarray(sample(rng), np.float32)
@@ -220,7 +232,8 @@ def main():
         imgs = imgs[:max(0, min(args.batch_size, args.samples - start))]
         if len(imgs):
             save_outputs(imgs, spec, args.out, start)
-    print(f"wrote {args.samples} samples to {args.out}")
+            written += len(imgs)
+    print(f"process {proc}/{nproc}: wrote {written} samples to {args.out}")
 
 
 if __name__ == "__main__":
