@@ -247,8 +247,8 @@ class LdmTrainer:
             with emergency_checkpoint(save_now):
                 for batch in batches:
                     batch = {k: v for k, v in batch.items()
-                             if k in ("jpg", "down", "masked_image",
-                                      "inpainting_mask")}
+                             if k in ("jpg", "moments", "down",
+                                      "masked_image", "inpainting_mask")}
                     batch = shard_batch(self.mesh, batch)
                     self.state, metrics = self.train_step(self.state, batch, rng)
                     step = int(self.state.step)
@@ -303,10 +303,27 @@ def main():
         used_feature=int(dcfg.get("used_feature", 2)),
         downsample=cfg.get("upsample"), inpainting=cfg.get("inpainting"),
         mean=dcfg.get("mean"), std=dcfg.get("std")), train=True)
-    loader = RangeLoader(ds, batch_size=int(cfg.get("train_batch_size", 32)),
-                         shard_by_process=jax.process_count() > 1)
-
+    bs = int(cfg.get("train_batch_size", 32))
     trainer = LdmTrainer(cfg)
+
+    if (cfg.get("cache_latents") and trainer.vae is not None
+            and not cfg.get("upsample") and not cfg.get("inpainting")):
+        # unconditional frozen-VAE training: encode the dataset once and
+        # train from cached posterior moments (saves the 36%-of-step
+        # encoder forward every step; training/latent_cache.py)
+        from rangeldm_tpu.training.latent_cache import (
+            MomentsDataset, precompute_moments,
+        )
+        moments = precompute_moments(
+            trainer.vae, trainer.vae_params, ds, batch_size=bs,
+            out_path=os.path.join(trainer.out_dir, "latent_moments.npy"),
+            tag=str(cfg.get("vae_checkpoint")), log=print)
+        loader = RangeLoader(MomentsDataset(moments), batch_size=bs,
+                             shard_by_process=jax.process_count() > 1)
+    else:
+        loader = RangeLoader(ds, batch_size=bs,
+                             shard_by_process=jax.process_count() > 1)
+
     start = trainer.resume()
     steps_per_epoch = len(loader)
     total = int(cfg.get("num_epochs", 1000)) * steps_per_epoch

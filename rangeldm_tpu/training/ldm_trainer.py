@@ -101,10 +101,17 @@ def make_ldm_train_step(unet_apply: Callable,
         return latents
 
     def train_step(state: TrainState, batch, rng: jax.Array):
-        images = batch["jpg"] if isinstance(batch, dict) else batch
         rng = jax.random.fold_in(rng, state.step)
         rng_vae, rng_cond, rng_loss = jax.random.split(rng, 3)
-        latents = encode(images, rng_vae)
+        if isinstance(batch, dict) and "moments" in batch:
+            # precomputed frozen-VAE posterior moments (latent cache,
+            # training/latent_cache.py); the per-step posterior draw keeps
+            # the reference's latent_dist.sample() stochasticity
+            latents = (gaussian_sample(rng_vae, batch["moments"])
+                       * cfg.scaling_factor)
+        else:
+            images = batch["jpg"] if isinstance(batch, dict) else batch
+            latents = encode(images, rng_vae)
         cond = cond_fn(batch, rng_cond) if cond_fn is not None else None
         loss, grads = jax.value_and_grad(loss_fn)(state.params, latents, cond,
                                                   rng_loss)

@@ -136,3 +136,24 @@ def test_vae_trainer_invalid_perceptual_pairings(tmp_path):
         "metakernel": False, "perceptual_weight": 0.1,
         "bev_perceptual": False}}))
     assert tr.loss_cfg.perceptual_weight == 0.1
+
+
+@pytest.mark.heavy
+def test_train_ldm_main_cache_latents(monkeypatch, tmp_path, kitti_tree):
+    """cache_latents: one encode pass writes latent_moments.npy, training
+    consumes cached moments (36%-of-step encoder saving, BENCHMARKS.md)."""
+    import rangeldm_tpu.train_ldm as mod
+    out = str(tmp_path / "ldm_cached")
+    cfg = {
+        "model": "tiny_cli", "output_dir": out,
+        "train_batch_size": 8, "use_ema": True, "with_vae": True,
+        "cache_latents": True, "checkpointing_steps": 2, "num_epochs": 1,
+        "data": {"root": kitti_tree, "sensor": "kitti360", "width": 64,
+                 "used_feature": 2},
+    }
+    cfg_path = str(tmp_path / "ldm_cached.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    run_main(monkeypatch, mod, cfg_path)
+    assert os.path.exists(os.path.join(out, "latent_moments.npy"))
+    assert os.path.exists(os.path.join(out, "train_log.jsonl"))

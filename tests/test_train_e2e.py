@@ -277,3 +277,74 @@ def test_vae_validate_live_and_ema(rng, tmp_path):
     out = tr.validate(batches(rng, 2, hw=(32, 64)), max_batches=2)
     assert np.isfinite(out["val/rec_loss"])
     assert np.isfinite(out["val/rec_loss_ema"])
+
+
+def test_latent_cache_matches_live_encode(rng, tmp_path):
+    """A train step fed precomputed moments must produce exactly the live
+    frozen-VAE-encode step's loss for the same RNG (moments are
+    deterministic; only the posterior draw is stochastic and shares the
+    rng stream), and the disk cache must round-trip + be reused."""
+    import dataclasses as dc
+
+    import optax
+
+    from rangeldm_tpu.diffusion.schedule import Schedule, ScheduleConfig
+    from rangeldm_tpu.models.unet import UNet2D, UNetConfig
+    from rangeldm_tpu.models.vae import AutoencoderKL, VaeConfig
+    from rangeldm_tpu.training.latent_cache import (
+        MomentsDataset, precompute_moments,
+    )
+    from rangeldm_tpu.training.ldm_trainer import (
+        LdmTrainConfig, make_ldm_train_step,
+    )
+    from rangeldm_tpu.training.train_state import TrainState
+
+    vcfg = VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4)
+    vae = AutoencoderKL(vcfg)
+    imgs = rng.standard_normal((6, 16, 32, 2)).astype(np.float32)
+    vp = vae.init({"params": jax.random.PRNGKey(0)}, imgs[:1],
+                  rng=jax.random.PRNGKey(1))
+
+    ucfg = UNetConfig(sample_size=(8, 16), in_channels=5, out_channels=4,
+                      block_out_channels=(32, 32),
+                      down_block_types=("DownBlock2D",) * 2,
+                      up_block_types=("UpBlock2D",) * 2)
+    unet = UNet2D(ucfg)
+    up = unet.init(jax.random.PRNGKey(2),
+                   np.zeros((1, 8, 16, 5), np.float32),
+                   np.zeros((1,), np.int32))["params"]
+
+    tx = optax.adam(1e-4)
+    schedule = Schedule.create(ScheduleConfig(num_train_timesteps=100))
+    step = make_ldm_train_step(
+        lambda p, x, t: unet.apply({"params": p}, x, t), schedule, tx,
+        LdmTrainConfig(),
+        vae_apply=lambda p, x: vae.apply(p, x, method="encode_moments"),
+        vae_params=vp)
+
+    class Ds:
+        def __len__(self):
+            return len(imgs)
+
+        def __getitem__(self, i):
+            return {"jpg": imgs[i]}
+
+    out = str(tmp_path / "moments.npy")
+    moments = precompute_moments(vae, vp, Ds(), batch_size=4, out_path=out,
+                                 tag="test")
+    assert moments.shape == (6, 8, 16, 8)
+    # reuse path: same tag/n -> memmap, no recompute
+    again = precompute_moments(vae, vp, Ds(), batch_size=4, out_path=out,
+                               tag="test")
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(moments))
+
+    state = TrainState.create(up, tx, with_ema=False)
+    key = jax.random.PRNGKey(7)
+    _, m_live = step(state, jnp.asarray(imgs[:4]), key)
+    _, m_cached = step(
+        state, {"moments": jnp.asarray(moments[:4])}, key)
+    np.testing.assert_allclose(float(m_cached["loss"]),
+                               float(m_live["loss"]), rtol=1e-5)
+
+    ds_view = MomentsDataset(moments)
+    assert ds_view[2]["moments"].shape == (8, 16, 8)
