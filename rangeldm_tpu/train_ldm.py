@@ -312,15 +312,19 @@ def main():
         # train from cached posterior moments (saves the 36%-of-step
         # encoder forward every step; training/latent_cache.py)
         from rangeldm_tpu.training.latent_cache import (
-            MomentsDataset, precompute_moments,
+            MomentsDataset, params_fingerprint, precompute_moments,
         )
         moments = precompute_moments(
             trainer.vae, trainer.vae_params, ds, batch_size=bs,
             out_path=os.path.join(trainer.out_dir, "latent_moments.npy"),
-            tag=str(cfg.get("vae_checkpoint")), log=print)
+            tag=params_fingerprint(trainer.vae_params), log=print)
         loader = RangeLoader(MomentsDataset(moments), batch_size=bs,
                              shard_by_process=jax.process_count() > 1)
     else:
+        if cfg.get("cache_latents"):
+            print("[latent-cache] cache_latents ignored: it applies only "
+                  "to unconditional training with a frozen VAE "
+                  "(conditional runs need per-step images for conditions)")
         loader = RangeLoader(ds, batch_size=bs,
                              shard_by_process=jax.process_count() > 1)
 

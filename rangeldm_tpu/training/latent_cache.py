@@ -38,49 +38,81 @@ class MomentsDataset:
         return {"moments": np.asarray(self.moments[i], np.float32)}
 
 
+def params_fingerprint(params) -> str:
+    """Content hash of a params pytree (used as the cache tag so a
+    retrained VAE at the same checkpoint path invalidates the cache)."""
+    import hashlib
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(params):
+        a = np.asarray(leaf)
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes()[:1 << 16])
+    return h.hexdigest()[:24]
+
+
 def precompute_moments(vae, vae_params, dataset, batch_size: int = 32,
                        out_path: Optional[str] = None,
                        tag: str = "", log=None) -> np.ndarray:
     """One ordered encode pass over `dataset` -> (N, h, w, 2z) float32.
 
-    With `out_path` the result is a reusable .npy memmap; a sidecar
-    `<out_path>.json` records {n, tag} and the cache is only reused when
-    both match (pass the VAE checkpoint path/fingerprint as `tag`)."""
+    With `out_path` the result is a reusable .npy written atomically
+    (tmp + os.replace — concurrent multi-host writers on a shared
+    filesystem each produce a complete file, last one wins, never a
+    truncated memmap); a sidecar `<out_path>.json` records {n, tag, shape}
+    and the cache is only reused when all match. Pass a CONTENT
+    fingerprint of the VAE (params_fingerprint) as `tag` — a path string
+    goes stale when the checkpoint is retrained in place.
+
+    The pass streams through a threaded RangeLoader so projection I/O
+    overlaps the device encodes."""
     n = len(dataset)
-    meta = {"n": n, "tag": tag}
+    if n == 0:
+        raise ValueError("precompute_moments: dataset is empty "
+                         "(check data.root)")
     if out_path and os.path.exists(out_path):
         try:
             with open(out_path + ".json") as f:
-                if json.load(f) == meta:
-                    if log:
-                        log(f"[latent-cache] reusing {out_path}")
-                    return np.load(out_path, mmap_mode="r")
+                meta = json.load(f)
+            cached = np.load(out_path, mmap_mode="r")
+            if (meta.get("n") == n and meta.get("tag") == tag
+                    and tuple(meta.get("shape", ())) == cached.shape):
+                if log:
+                    log(f"[latent-cache] reusing {out_path}")
+                return cached
         except Exception:
             pass
 
+    from rangeldm_tpu.data.datasets import RangeLoader
     encode = jax.jit(
         lambda x: vae.apply(vae_params, x, method="encode_moments"))
+    loader = RangeLoader(dataset, batch_size=batch_size, shuffle=False,
+                         drop_last=False)
     moments = None
-    for start in range(0, n, batch_size):
-        stop = min(start + batch_size, n)
-        imgs = np.stack([np.asarray(dataset[i]["jpg"], np.float32)
-                         for i in range(start, stop)])
+    write_path = out_path + f".tmp-{os.getpid()}.npy" if out_path else None
+    start = 0
+    for batch in loader:
+        imgs = np.asarray(batch["jpg"], np.float32)
+        stop = start + len(imgs)
         pad = batch_size - len(imgs)
         if pad:      # keep one compiled shape for the ragged last batch
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
         m = np.asarray(encode(jnp.asarray(imgs)), np.float32)[:stop - start]
         if moments is None:
             shape = (n,) + m.shape[1:]
-            if out_path:
+            if write_path:
                 moments = np.lib.format.open_memmap(
-                    out_path, mode="w+", dtype=np.float32, shape=shape)
+                    write_path, mode="w+", dtype=np.float32, shape=shape)
             else:
                 moments = np.empty(shape, np.float32)
         moments[start:stop] = m
         if log and (start // batch_size) % 50 == 0:
             log(f"[latent-cache] encoded {stop}/{n}")
+        start = stop
     if out_path:
         moments.flush()
+        del moments
+        os.replace(write_path, out_path)
         with open(out_path + ".json", "w") as f:
-            json.dump(meta, f)
+            json.dump({"n": n, "tag": tag, "shape": list(shape)}, f)
+        return np.load(out_path, mmap_mode="r")
     return moments

@@ -135,16 +135,21 @@ def make_ldm_train_step(unet_apply: Callable,
         def train_step(state, batch, rng):  # noqa: F811
             """Microbatch accumulation via lax.scan (the reference's
             accelerate.accumulate, ldm/train_unconditional.py:503)."""
-            images = batch["jpg"] if isinstance(batch, dict) else batch
             k = cfg.grad_accum_steps
             rng = jax.random.fold_in(rng, state.step)
             rng_vae, rng_cond, rng_loss = jax.random.split(rng, 3)
-            latents = encode(images, rng_vae)
-            latents = latents.reshape(
-                (k, images.shape[0] // k) + latents.shape[1:])
+            if isinstance(batch, dict) and "moments" in batch:
+                b = batch["moments"].shape[0]
+                latents = (gaussian_sample(rng_vae, batch["moments"])
+                           * cfg.scaling_factor)
+            else:
+                images = batch["jpg"] if isinstance(batch, dict) else batch
+                b = images.shape[0]
+                latents = encode(images, rng_vae)
+            latents = latents.reshape((k, b // k) + latents.shape[1:])
             cond = cond_fn(batch, rng_cond) if cond_fn is not None else None
             if cond is not None:
-                cond = cond.reshape((k, images.shape[0] // k) + cond.shape[1:])
+                cond = cond.reshape((k, b // k) + cond.shape[1:])
             else:
                 cond = jnp.zeros((k,), jnp.float32)  # scan placeholder
 

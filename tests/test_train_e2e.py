@@ -348,3 +348,37 @@ def test_latent_cache_matches_live_encode(rng, tmp_path):
 
     ds_view = MomentsDataset(moments)
     assert ds_view[2]["moments"].shape == (8, 16, 8)
+
+
+def test_latent_cache_with_grad_accum(rng):
+    """cache_latents + gradient_accumulation_steps > 1 (regression: the
+    accumulation wrapper used to KeyError on moments batches)."""
+    import optax
+
+    from rangeldm_tpu.diffusion.schedule import Schedule, ScheduleConfig
+    from rangeldm_tpu.models.unet import UNet2D, UNetConfig
+    from rangeldm_tpu.training.ldm_trainer import (
+        LdmTrainConfig, make_ldm_train_step,
+    )
+    from rangeldm_tpu.training.train_state import TrainState
+
+    ucfg = UNetConfig(sample_size=(8, 16), in_channels=5, out_channels=4,
+                      block_out_channels=(32, 32),
+                      down_block_types=("DownBlock2D",) * 2,
+                      up_block_types=("UpBlock2D",) * 2)
+    unet = UNet2D(ucfg)
+    up = unet.init(jax.random.PRNGKey(0),
+                   np.zeros((1, 8, 16, 5), np.float32),
+                   np.zeros((1,), np.int32))["params"]
+    tx = optax.adam(1e-4)
+    step = make_ldm_train_step(
+        lambda p, x, t: unet.apply({"params": p}, x, t),
+        Schedule.create(ScheduleConfig(num_train_timesteps=50)), tx,
+        LdmTrainConfig(grad_accum_steps=2),
+        vae_apply=lambda p, x: x, vae_params={})
+    state = TrainState.create(up, tx, with_ema=False)
+    moments = jnp.asarray(rng.standard_normal((4, 8, 16, 8)), jnp.float32)
+    new_state, metrics = step(state, {"moments": moments},
+                              jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
