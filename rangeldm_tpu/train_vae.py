@@ -42,6 +42,11 @@ class VaeTrainer:
         enable_compilation_cache()
         self.cfg = cfg
         self.mesh = mesh or make_mesh()
+        # opt-in bf16 compute for the VAE/disc forwards (the reference
+        # trains f32; all GAN loss arithmetic stays f32 — vae_trainer
+        # upcasts at the module boundaries)
+        self.dtype = jnp.bfloat16 \
+            if cfg.get("mixed_precision") == "bf16" else None
         vcfg = cfg.get("vae", {})
         self.vae_cfg = VaeConfig(
             ch=int(vcfg.get("ch", 64)),
@@ -49,7 +54,7 @@ class VaeTrainer:
             z_channels=int(vcfg.get("z_channels", 4)),
             act=vcfg.get("act", "silu"),
             circular=bool(vcfg.get("circular", True)))
-        self.vae = AutoencoderKL(self.vae_cfg)
+        self.vae = AutoencoderKL(self.vae_cfg, dtype=self.dtype)
 
         lcfg = cfg.get("loss", {})
         self.loss_cfg = VaeLossConfig(
@@ -81,14 +86,14 @@ class VaeTrainer:
         if mk == 2:
             self.disc = NLayerDiscriminatorMetaKernel2(
                 range_mean=float(spec.get("mean", 20.0)),
-                range_std=float(spec.get("std", 40.0)))
+                range_std=float(spec.get("std", 40.0)), dtype=self.dtype)
         elif mk:
             self.disc = NLayerDiscriminatorMetaKernel(
                 range_mean=float(spec.get("mean", 20.0)),
-                range_std=float(spec.get("std", 40.0)))
+                range_std=float(spec.get("std", 40.0)), dtype=self.dtype)
         else:
             self.disc = NLayerDiscriminator(
-                ndf=int(lcfg.get("disc_ndf", 64)))
+                ndf=int(lcfg.get("disc_ndf", 64)), dtype=self.dtype)
 
         bs = int(cfg.get("batch_size", 16))
         base_lr = float(cfg.get("base_learning_rate", 4.5e-6))

@@ -106,11 +106,15 @@ def _bev_three_channel(vox):
 
 
 def hinge_d_loss(logits_real, logits_fake):
+    logits_real = logits_real.astype(jnp.float32)
+    logits_fake = logits_fake.astype(jnp.float32)
     return 0.5 * (jnp.mean(jax.nn.relu(1.0 - logits_real)) +
                   jnp.mean(jax.nn.relu(1.0 + logits_fake)))
 
 
 def vanilla_d_loss(logits_real, logits_fake):
+    logits_real = logits_real.astype(jnp.float32)
+    logits_fake = logits_fake.astype(jnp.float32)
     return 0.5 * (jnp.mean(jax.nn.softplus(-logits_real)) +
                   jnp.mean(jax.nn.softplus(logits_fake)))
 
@@ -161,10 +165,15 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
         return jnp.transpose(v, (0, 2, 3, 1))
 
     def forward(vae_params, batch, rng):
+        # loss math is always f32 regardless of the module compute dtype
+        # (mixed_precision: bf16 runs the VAE/disc forward in bf16; the
+        # reference trains f32, so bf16 is opt-in and the GAN arithmetic —
+        # nll, KL, hinge, adaptive weight — stays f32 either way)
         moments = vae.apply({"params": vae_params}, batch,
-                            method="encode_moments")
+                            method="encode_moments").astype(jnp.float32)
         z = gaussian_sample(rng, moments)
-        xrec = vae.apply({"params": vae_params}, z, method="decode")
+        xrec = vae.apply({"params": vae_params}, z,
+                         method="decode").astype(jnp.float32)
         return xrec, z, moments
 
     def disc_factor_at(step):
@@ -214,7 +223,7 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
             logits_fake, new_stats = disc_apply(
                 disc_vars, disc_input(xrec, vox_rec), train=True,
                 mutable=True)
-            g_loss = -jnp.mean(logits_fake)
+            g_loss = -jnp.mean(logits_fake.astype(jnp.float32))
 
             # adaptive weight at the decoder's final conv kernel
             w_last = vp["decoder"]["conv_out"]["kernel"]
@@ -224,7 +233,8 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
                 p2 = {**vp, "decoder": {**vp["decoder"],
                                         "conv_out": {**vp["decoder"]["conv_out"],
                                                      "kernel": w}}}
-                return vae.apply({"params": p2}, z_sg, method="decode")
+                return vae.apply({"params": p2}, z_sg,
+                                 method="decode").astype(jnp.float32)
 
             xrec2, dec_vjp = jax.vjp(dec, w_last)
 
@@ -253,7 +263,7 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
             def g_scalar(xr):
                 lf, _ = disc_apply(disc_vars, disc_input(xr), train=True,
                                    mutable=True)
-                return -jnp.mean(lf)
+                return -jnp.mean(lf.astype(jnp.float32))
 
             nll_cot = jax.grad(nll_scalar)(xrec2)
             g_cot = jax.grad(g_scalar)(xrec2)

@@ -96,3 +96,29 @@ def test_ema_shadow_tracks_generator(rng):
     # early warmup decay is tiny -> shadow is close to live params
     assert not np.allclose(np.asarray(shadow0), np.asarray(shadow1))
     assert np.abs(np.asarray(shadow1) - np.asarray(live)).max() < 0.05
+
+
+def test_mixed_precision_bf16_steps_run(tmp_path):
+    """mixed_precision: bf16 runs the VAE/disc forwards in bf16 with all
+    GAN loss arithmetic upcast to f32 at the module boundaries — both
+    steps must produce finite f32 losses and f32 parameter updates."""
+    from rangeldm_tpu.train_vae import VaeTrainer
+    from rangeldm_tpu.utils.config import Cfg
+
+    cfg = Cfg.wrap({
+        "output_dir": str(tmp_path / "v"), "batch_size": 4,
+        "image_size": [32, 64], "mixed_precision": "bf16",
+        "vae": {"ch": 32, "ch_mult": [1, 2], "z_channels": 4},
+        "loss": {"disc_start": 0, "metakernel": True},
+    })
+    tr = VaeTrainer(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 32, 64, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    state, gm = tr.gen_step(tr.state, x, key)
+    state, dm = tr.disc_step(state, x, key)
+    for v in {**gm, **dm}.values():
+        assert np.isfinite(float(v))
+    assert gm["total_loss"].dtype == jnp.float32
+    leaf = jax.tree.leaves(state.gen_params["vae"])[0]
+    assert leaf.dtype == jnp.float32          # params stay f32
