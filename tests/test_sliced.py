@@ -108,3 +108,95 @@ def test_sliced_encoder_grads_finite(rng):
     g = jax.grad(loss)(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+class TorchSlicedResBlock(torch.nn.Module):
+    """Twin of the reference SlicedResnetBlock (model.py:1136-1196),
+    relu act, GN32 eps 1e-6, conv1 at p / conv2 at 1-p / nin at p."""
+
+    def __init__(self, cin, cout, p, h):
+        super().__init__()
+        self.norm1 = torch.nn.GroupNorm(32, cin, eps=1e-6)
+        self.conv1 = TorchSlicedConv(cin, cout, 3, 1, p, h)
+        self.norm2 = torch.nn.GroupNorm(32, cout, eps=1e-6)
+        self.conv2 = TorchSlicedConv(cout, cout, 3, 1, 1 - p, h)
+        self.nin = TorchSlicedConv(cin, cout, 1, 1, p, h) if cin != cout \
+            else None
+
+    def forward(self, x):                     # (B, C, W, H)
+        h = self.conv1(F.relu(self.norm1(x)))
+        h = self.conv2(F.relu(self.norm2(h)))
+        if self.nin is not None:
+            x = self.nin(x)
+        return x + h
+
+
+@pytest.mark.heavy
+def test_sliced_encoder_matches_torch_twin(rng):
+    """Full SlicedEncoder forward parity against a torch twin that
+    reproduces the reference's padding-toggle state machine
+    (model.py:1200-1346) on torch's native grouped circular Conv1d."""
+    from rangeldm_tpu.models.sliced import SlicedConfig, SlicedEncoder
+
+    ch, hh, w = 32, 8, 16
+    cfg = SlicedConfig(ch=ch, ch_mult=(1, 2), num_res_blocks=1,
+                       z_channels=3, resolution=hh, in_channels=2)
+
+    # torch twin, following the construction-order toggles exactly
+    torch.manual_seed(0)
+    conv_in = TorchSlicedConv(2, ch, 3, 1, 0, hh)          # p=0 -> 1
+    blk0 = TorchSlicedResBlock(ch, ch, 1, hh)              # ch==ch: no flip
+    down0 = TorchSlicedConv(ch, ch, 3, 2, 1, hh)           # resample: 1 -> 0
+    blk1 = TorchSlicedResBlock(ch, 2 * ch, 0, hh // 2)     # ch change: 0 -> 1
+    mid1 = TorchSlicedResBlock(2 * ch, 2 * ch, 1, hh // 2)  # -> 0
+    mid2 = TorchSlicedResBlock(2 * ch, 2 * ch, 0, hh // 2)  # -> 1
+    norm_out = torch.nn.GroupNorm(32, 2 * ch, eps=1e-6)
+    conv_out = TorchSlicedConv(2 * ch, 6, 3, 1, 1, hh // 2)
+    for m in (conv_in, blk0, down0, blk1, mid1, mid2, norm_out, conv_out):
+        for q in m.parameters():
+            q.data.normal_(0, 0.2)
+
+    def forward_t(x):                         # (B, C, W, H)
+        h = conv_in(x)
+        h = blk0(h)
+        h = down0(h)
+        h = blk1(h)
+        h = mid1(h)
+        h = mid2(h)
+        return conv_out(F.relu(norm_out(h)))
+
+    x = rng.standard_normal((2, hh, w, 2)).astype(np.float32)
+    with torch.no_grad():
+        ref = forward_t(torch.from_numpy(x).permute(0, 3, 2, 1)).numpy()
+    ref = np.transpose(ref, (0, 3, 2, 1))
+
+    def sc(m):
+        return {"kernel": jnp.asarray(
+                    m.conv.weight.detach().numpy().transpose(2, 1, 0)),
+                "bias": jnp.asarray(m.conv.bias.detach().numpy())}
+
+    def gn(m):
+        return {"scale": jnp.asarray(m.weight.detach().numpy()),
+                "bias": jnp.asarray(m.bias.detach().numpy())}
+
+    def rb(m):
+        d = {"norm1": gn(m.norm1), "conv1": sc(m.conv1),
+             "norm2": gn(m.norm2), "conv2": sc(m.conv2)}
+        if m.nin is not None:
+            d["nin_shortcut"] = sc(m.nin)
+        return d
+
+    params = {"params": {
+        "conv_in": sc(conv_in),
+        "down_0_block_0": rb(blk0),
+        "down_0_downsample": {"conv": sc(down0)},
+        "down_1_block_0": rb(blk1),
+        "mid_block_1": rb(mid1),
+        "mid_block_2": rb(mid2),
+        "norm_out": gn(norm_out),
+        "conv_out": sc(conv_out),
+    }}
+    enc = SlicedEncoder(cfg)
+    got = np.asarray(enc.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
