@@ -136,8 +136,6 @@ def test_sliced_encoder_matches_torch_twin(rng):
     """Full SlicedEncoder forward parity against a torch twin that
     reproduces the reference's padding-toggle state machine
     (model.py:1200-1346) on torch's native grouped circular Conv1d."""
-    from rangeldm_tpu.models.sliced import SlicedConfig, SlicedEncoder
-
     ch, hh, w = 32, 8, 16
     cfg = SlicedConfig(ch=ch, ch_mult=(1, 2), num_res_blocks=1,
                        z_channels=3, resolution=hh, in_channels=2)
@@ -198,5 +196,83 @@ def test_sliced_encoder_matches_torch_twin(rng):
     }}
     enc = SlicedEncoder(cfg)
     got = np.asarray(enc.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.heavy
+def test_sliced_decoder_matches_torch_twin(rng):
+    """Full SlicedDecoder forward parity (mirrored toggle schedule +
+    SlicedUpsample's doubled-height conv, model.py:1349-1517)."""
+    ch, hh, w = 32, 8, 16
+    cfg = SlicedConfig(ch=ch, ch_mult=(1, 2), num_res_blocks=1,
+                       z_channels=3, resolution=hh, in_channels=2,
+                       out_ch=2)
+
+    torch.manual_seed(1)
+    h2 = hh // 2
+    conv_in = TorchSlicedConv(3, 2 * ch, 3, 1, 0, h2)       # p=0 -> 1
+    mid1 = TorchSlicedResBlock(2 * ch, 2 * ch, 1, h2)       # -> 0
+    mid2 = TorchSlicedResBlock(2 * ch, 2 * ch, 0, h2)       # -> 1
+    # level i=1: num_res_blocks+1 blocks, no channel change (no flips)
+    up1_b0 = TorchSlicedResBlock(2 * ch, 2 * ch, 1, h2)
+    up1_b1 = TorchSlicedResBlock(2 * ch, 2 * ch, 1, h2)
+    up1_conv = TorchSlicedConv(2 * ch, 2 * ch, 3, 1, 1, hh)  # upsample: 1 -> 0
+    # level i=0: first block changes channels (flip 0 -> 1)
+    up0_b0 = TorchSlicedResBlock(2 * ch, ch, 0, hh)
+    up0_b1 = TorchSlicedResBlock(ch, ch, 1, hh)
+    norm_out = torch.nn.GroupNorm(32, ch, eps=1e-6)
+    conv_out = TorchSlicedConv(ch, 2, 3, 1, 1, hh)
+    mods = (conv_in, mid1, mid2, up1_b0, up1_b1, up1_conv, up0_b0, up0_b1,
+            norm_out, conv_out)
+    for m in mods:
+        for q in m.parameters():
+            q.data.normal_(0, 0.2)
+
+    def forward_t(z):                          # (B, C, W, H)
+        h = conv_in(z)
+        h = mid2(mid1(h))
+        h = up1_b1(up1_b0(h))
+        h = torch.nn.functional.interpolate(h, scale_factor=2.0,
+                                            mode="nearest")
+        h = up1_conv(h)
+        h = up0_b1(up0_b0(h))
+        return conv_out(F.relu(norm_out(h)))
+
+    z = rng.standard_normal((2, h2, w // 2, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = forward_t(torch.from_numpy(z).permute(0, 3, 2, 1)).numpy()
+    ref = np.transpose(ref, (0, 3, 2, 1))
+
+    def sc(m):
+        return {"kernel": jnp.asarray(
+                    m.conv.weight.detach().numpy().transpose(2, 1, 0)),
+                "bias": jnp.asarray(m.conv.bias.detach().numpy())}
+
+    def gn(m):
+        return {"scale": jnp.asarray(m.weight.detach().numpy()),
+                "bias": jnp.asarray(m.bias.detach().numpy())}
+
+    def rb(m):
+        d = {"norm1": gn(m.norm1), "conv1": sc(m.conv1),
+             "norm2": gn(m.norm2), "conv2": sc(m.conv2)}
+        if m.nin is not None:
+            d["nin_shortcut"] = sc(m.nin)
+        return d
+
+    params = {"params": {
+        "conv_in": sc(conv_in),
+        "mid_block_1": rb(mid1),
+        "mid_block_2": rb(mid2),
+        "up_1_block_0": rb(up1_b0),
+        "up_1_block_1": rb(up1_b1),
+        "up_1_upsample": {"conv": sc(up1_conv)},
+        "up_0_block_0": rb(up0_b0),
+        "up_0_block_1": rb(up0_b1),
+        "norm_out": gn(norm_out),
+        "conv_out": sc(conv_out),
+    }}
+    dec = SlicedDecoder(cfg)
+    got = np.asarray(dec.apply(params, jnp.asarray(z)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
