@@ -41,6 +41,8 @@ from rangeldm_tpu.utils.config import Cfg, load_config
 def expand_env(obj):
     if isinstance(obj, dict):
         return {k: expand_env(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [expand_env(v) for v in obj]
     if isinstance(obj, str):
         return re.sub(r"\$\{(\w+)\}", lambda m: os.environ.get(m.group(1), ""),
                       obj)
@@ -111,6 +113,12 @@ class LdmTrainer:
             img_shape = (*self.spec.image_size, self.spec.vae.in_channels)
             self.vae_params = load_vae_params(
                 self.vae, cfg.get("vae_checkpoint"), img_shape)
+            # put on device BEFORE the train-step/cond_fn closures capture
+            # them — a host copy captured by jit would be re-staged as a
+            # separate constant while the replicated copy serves only the
+            # sampler
+            self.vae_params = jax.device_put(self.vae_params,
+                                             replicated(self.mesh))
 
         total_steps = int(cfg.get("total_steps", 1_000_000))
         self.tx = make_adamw(
@@ -166,8 +174,6 @@ class LdmTrainer:
         state = TrainState.create(params, self.tx,
                                   with_ema=bool(cfg.get("use_ema", True)))
         self.state = jax.device_put(state, repl)
-        if self.vae_params is not None:
-            self.vae_params = jax.device_put(self.vae_params, repl)
 
         out_dir = cfg.get("output_dir") or "runs/default"
         self.out_dir = out_dir
@@ -211,8 +217,16 @@ class LdmTrainer:
 
         return jax.jit(sample)
 
-    def dump_samples(self, step: int, sample_fn=None) -> str:
+    def dump_samples(self, step: int, sample_fn=None) -> Optional[str]:
         from rangeldm_tpu.training.image_logger import save_range_image_grid
+        if self.spec.cond_channels:
+            # conditional UNets need condition inputs the in-training
+            # sampler does not have; use sample_conditional.py offline
+            import logging
+            logging.getLogger(__name__).warning(
+                "sample_every_steps ignored for conditional models "
+                "(use rangeldm_tpu.sample_conditional)")
+            return None
         if sample_fn is None:
             sample_fn = self._sample_fn = getattr(
                 self, "_sample_fn", None) or self.make_sample_fn()
@@ -222,7 +236,12 @@ class LdmTrainer:
                           np.float32)
         path = os.path.join(self.out_dir, "samples",
                             f"samples_step{step:08d}.png")
-        save_range_image_grid(imgs, path)
+        dcfg = self.cfg.get("data", {})
+        from rangeldm_tpu.geometry import get_spec
+        sp = get_spec(dcfg.get("sensor", self.spec.sensor))
+        save_range_image_grid(imgs, path,
+                              mean=float(dcfg.get("mean", sp.mean)),
+                              std=float(dcfg.get("std", sp.std)))
         return path
 
     def fit(self, batches, max_steps: Optional[int] = None,
@@ -239,6 +258,7 @@ class LdmTrainer:
                               tensorboard=bool(cfg.get("tensorboard", True)))
         last = {}
         t0 = time.perf_counter()
+        step0 = int(self.state.step)      # resume-aware throughput base
 
         def save_now():
             self.ckpt.save(int(self.state.step), jax.device_get(self.state))
@@ -254,8 +274,10 @@ class LdmTrainer:
                     step = int(self.state.step)
                     if step % log_every == 0 or (max_steps and step >= max_steps):
                         last = {k: float(v) for k, v in metrics.items()}
-                        last.update(step=step,
-                                    sps=step / max(time.perf_counter() - t0, 1e-9))
+                        last.update(
+                            step=step,
+                            sps=((step - step0)
+                                 / max(time.perf_counter() - t0, 1e-9)))
                         logger.log(step, last)
                     if step % ckpt_steps == 0:
                         self.ckpt.save(step, jax.device_get(self.state))

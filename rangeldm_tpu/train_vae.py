@@ -48,7 +48,11 @@ class VaeTrainer:
         self.dtype = jnp.bfloat16 \
             if cfg.get("mixed_precision") == "bf16" else None
         vcfg = cfg.get("vae", {})
+        dcfg = cfg.get("data", {})
+        lcfg = cfg.get("loss", {})
+        uf = int(dcfg.get("used_feature", 2))
         self.vae_cfg = VaeConfig(
+            in_channels=uf, out_ch=uf,
             ch=int(vcfg.get("ch", 64)),
             ch_mult=tuple(vcfg.get("ch_mult", (1, 2, 4))),
             z_channels=int(vcfg.get("z_channels", 4)),
@@ -56,7 +60,22 @@ class VaeTrainer:
             circular=bool(vcfg.get("circular", True)))
         self.vae = AutoencoderKL(self.vae_cfg, dtype=self.dtype)
 
-        lcfg = cfg.get("loss", {})
+        # ONE sensor spec drives the dataset normalization, the MetaKernel
+        # discriminator geometry, and the BEV/perceptual branches — built
+        # from the full data config (+ loss.encoding) so they cannot
+        # diverge (the dataset builds its own identical copy from the same
+        # keys, data/datasets.py:52-60)
+        from rangeldm_tpu.geometry import get_spec
+        encoding = lcfg.get("encoding", "linear")
+        spec_kw = {"width": int(dcfg.get("width", 1024)),
+                   "log": encoding == "log",
+                   "inverse": encoding == "inverse"}
+        if dcfg.get("mean") is not None:
+            spec_kw["mean"] = float(dcfg.get("mean"))
+        if dcfg.get("std") is not None:
+            spec_kw["std"] = float(dcfg.get("std"))
+        self.sensor_spec = get_spec(dcfg.get("sensor", "kitti360"),
+                                    **spec_kw)
         self.loss_cfg = VaeLossConfig(
             disc_start=int(lcfg.get("disc_start", 200000)),
             disc_weight=float(lcfg.get("disc_weight", 0.5)),
@@ -71,8 +90,13 @@ class VaeTrainer:
             bev_rec_weight=float(lcfg.get("bev_rec_weight", 0.0)),
             perceptual_weight=float(lcfg.get("perceptual_weight", 0.0)),
             bev_perceptual=bool(lcfg.get("bev_perceptual", False)),
-            disc_bev=bool(lcfg.get("disc_bev", False)))
-        spec = cfg.get("data", {})
+            disc_bev=bool(lcfg.get("disc_bev", False)),
+            used_feature=uf,
+            disc_factor=float(lcfg.get("disc_factor", 1.0)),
+            disc_loss=lcfg.get("disc_loss", "hinge"),
+            learn_logvar=bool(lcfg.get("learn_logvar", False)),
+            logvar_init=float(lcfg.get("logvar_init", 0.0)),
+            ema_decay=float(lcfg.get("ema_decay", 0.9999)))
         mk = lcfg.get("metakernel", True)
         if self.loss_cfg.disc_bev and mk:
             # MetaKernel un-normalizes channel 0 as a range image and builds
@@ -85,25 +109,28 @@ class VaeTrainer:
                 "normalized range image, not a BEV density grid)")
         if mk == 2:
             self.disc = NLayerDiscriminatorMetaKernel2(
-                range_mean=float(spec.get("mean", 20.0)),
-                range_std=float(spec.get("std", 40.0)), dtype=self.dtype)
+                range_mean=self.sensor_spec.mean,
+                range_std=self.sensor_spec.std, dtype=self.dtype)
         elif mk:
             self.disc = NLayerDiscriminatorMetaKernel(
-                range_mean=float(spec.get("mean", 20.0)),
-                range_std=float(spec.get("std", 40.0)), dtype=self.dtype)
+                range_mean=self.sensor_spec.mean,
+                range_std=self.sensor_spec.std, dtype=self.dtype)
         else:
             self.disc = NLayerDiscriminator(
                 ndf=int(lcfg.get("disc_ndf", 64)), dtype=self.dtype)
 
         bs = int(cfg.get("batch_size", 16))
         base_lr = float(cfg.get("base_learning_rate", 4.5e-6))
-        n_dev = len(self.mesh.devices.ravel())
-        lr = base_lr * bs * n_dev if cfg.get("scale_lr", True) else base_lr
+        # reference LR rule: accum * global_batch * base_lr
+        # (vae/main.py:846-873). cfg batch_size IS the global batch here
+        # (the loader yields bs and shard_batch splits it across devices),
+        # so no extra device-count factor.
+        lr = base_lr * bs if cfg.get("scale_lr", True) else base_lr
         self.gen_tx = optax.adam(lr)
         self.disc_tx = optax.adam(lr)
 
         h, w = cfg.get("image_size", (64, 1024))
-        x0 = np.zeros((1, h, w, 2), np.float32)
+        x0 = np.zeros((1, h, w, uf), np.float32)
         vae_params = init_on_cpu(self.vae.init,
                                  {"params": jax.random.PRNGKey(0)}, x0,
                                  rng=jax.random.PRNGKey(1))
@@ -117,8 +144,7 @@ class VaeTrainer:
 
         voxel_fn = None
         lc = self.loss_cfg
-        from rangeldm_tpu.geometry import get_spec
-        sensor_spec = get_spec(spec.get("sensor", "kitti360"))
+        sensor_spec = self.sensor_spec
         if lc.bev_rec_weight > 0 or lc.bev_perceptual or lc.disc_bev:
             import functools
             from rangeldm_tpu.geometry import to_voxel
@@ -282,10 +308,12 @@ def main():
         DatasetConfig, RangeImageDataset, RangeLoader,
     )
     dcfg = cfg.get("data", {})
+    encoding = cfg.get("loss", {}).get("encoding", "linear")
     ds = RangeImageDataset(DatasetConfig(
         root=dcfg.get("root", ""), sensor=dcfg.get("sensor", "kitti360"),
         width=int(dcfg.get("width", 1024)),
         used_feature=int(dcfg.get("used_feature", 2)),
+        log=encoding == "log", inverse=encoding == "inverse",
         mean=dcfg.get("mean"), std=dcfg.get("std")), train=True)
     loader = RangeLoader(ds, batch_size=int(cfg.get("batch_size", 16)),
                          shard_by_process=jax.process_count() > 1)
