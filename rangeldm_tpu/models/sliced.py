@@ -165,6 +165,13 @@ class SlicedResnetBlock(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class SlicedConfig:
+    """Defaults mirror the shipped RangeLDM usage, not the reference class
+    defaults: reference SlicedEncoder/SlicedDecoder default
+    attn_type='vanilla' with a mid attention block (model.py:1203,1357),
+    but the Sliced family is dead code upstream and every shipped config
+    in this repo is attention-free, so we default attn_type='none'
+    (intentional divergence; pass attn_type='vanilla' for the reference
+    structural default)."""
     in_channels: int = 2
     out_ch: int = 2
     ch: int = 64

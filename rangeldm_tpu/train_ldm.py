@@ -150,6 +150,7 @@ class LdmTrainer:
             cond_fn = conditions.make_inpainting_cond_fn(
                 self.vae, self.vae_params, self.train_cfg.scaling_factor,
                 self.spec.unet.sample_size)
+        self.cond_fn = cond_fn
 
         vae_apply = None
         if self.vae is not None:
@@ -217,16 +218,81 @@ class LdmTrainer:
 
         return jax.jit(sample)
 
-    def dump_samples(self, step: int, sample_fn=None) -> Optional[str]:
+    def make_cond_sample_fn(self, batch_size: int, num_steps: int = 50):
+        """Jitted conditional sampler (the in-training sample dump of
+        ldm/train_conditional.py:542-570, which drives
+        LDMUpscalePipelineRange with the last train batch's conditions)."""
+        from rangeldm_tpu.pipelines.samplers import conditional_latent_sample
+        h, w = self.spec.unet.sample_size
+
+        def sample(params, rng, cond_inputs):
+            rng, sub = jax.random.split(rng)
+            cond = self.cond_fn(cond_inputs, sub)
+
+            def unet_fn(x, t):
+                return self.unet.apply({"params": params}, x, t)
+
+            return conditional_latent_sample(
+                unet_fn,
+                lambda z: self.vae.apply(self.vae_params, z, method="decode"),
+                self.schedule, rng,
+                (batch_size, h, w, self.spec.unet.out_channels),
+                self.train_cfg.scaling_factor, cond, num_steps=num_steps,
+                pos_encoding=self.train_cfg.pos_encoding, dtype=self.dtype)
+
+        return jax.jit(sample)
+
+    def _dump_conditional(self, step: int, cond_batch) -> str:
+        """Write result/target/input grids from the held train batch's
+        conditions (reference triplet layout, train_conditional.py:542-570)."""
+        from rangeldm_tpu.training.image_logger import save_range_image_grid
+        keys = [k for k in ("down", "masked_image", "inpainting_mask")
+                if k in cond_batch]
+        n = min(int(np.asarray(cond_batch[keys[0]]).shape[0]), 8)
+        cond_inputs = {k: jnp.asarray(np.asarray(cond_batch[k])[:n])
+                       for k in keys}
+        fn = getattr(self, "_cond_sample_fns", {}).get(n)
+        if fn is None:
+            fn = self.make_cond_sample_fn(
+                n, num_steps=int(self.cfg.get("ddpm_num_inference_steps", 50)))
+            self._cond_sample_fns = getattr(self, "_cond_sample_fns", {})
+            self._cond_sample_fns[n] = fn
+        params = self.state.ema_params if self.state.ema_params is not None \
+            else self.state.params
+        result = np.asarray(fn(params, jax.random.PRNGKey(step), cond_inputs),
+                            np.float32)
+        dcfg = self.cfg.get("data", {})
+        from rangeldm_tpu.geometry import get_spec
+        sp = get_spec(dcfg.get("sensor", self.spec.sensor))
+        mean = float(dcfg.get("mean", sp.mean))
+        std = float(dcfg.get("std", sp.std))
+        base = os.path.join(self.out_dir, "samples")
+        grids = {"result": result}
+        if "jpg" in cond_batch:
+            grids["target"] = np.asarray(cond_batch["jpg"])[:n]
+        grids["input"] = np.asarray(
+            cond_batch.get("down", cond_batch.get("masked_image")))[:n]
+        for name, imgs in grids.items():
+            save_range_image_grid(
+                np.asarray(imgs, np.float32),
+                os.path.join(base, f"samples_step{step:08d}_{name}.png"),
+                mean=mean, std=std)
+        return os.path.join(base, f"samples_step{step:08d}_result.png")
+
+    def dump_samples(self, step: int, sample_fn=None,
+                     cond_batch=None) -> Optional[str]:
         from rangeldm_tpu.training.image_logger import save_range_image_grid
         if self.spec.cond_channels:
-            # conditional UNets need condition inputs the in-training
-            # sampler does not have; use sample_conditional.py offline
-            import logging
-            logging.getLogger(__name__).warning(
-                "sample_every_steps ignored for conditional models "
-                "(use rangeldm_tpu.sample_conditional)")
-            return None
+            if cond_batch is None or self.cond_fn is None:
+                # no condition inputs available (e.g. called outside fit);
+                # use sample_conditional.py offline
+                import logging
+                logging.getLogger(__name__).warning(
+                    "sample_every_steps needs a condition batch for "
+                    "conditional models (use rangeldm_tpu.sample_conditional "
+                    "offline, or call dump_samples(cond_batch=...))")
+                return None
+            return self._dump_conditional(step, cond_batch)
         if sample_fn is None:
             sample_fn = self._sample_fn = getattr(
                 self, "_sample_fn", None) or self.make_sample_fn()
@@ -255,7 +321,9 @@ class LdmTrainer:
         ckpt_steps = int(cfg.get("checkpointing_steps", 500))
         sample_steps = cfg.get("sample_every_steps")
         logger = ScalarLogger(self.out_dir,
-                              tensorboard=bool(cfg.get("tensorboard", True)))
+                              tensorboard=bool(cfg.get("tensorboard", True)),
+                              csv=bool(cfg.get("csv_log", False)),
+                              wandb=bool(cfg.get("wandb", False)))
         last = {}
         t0 = time.perf_counter()
         step0 = int(self.state.step)      # resume-aware throughput base
@@ -282,7 +350,13 @@ class LdmTrainer:
                     if step % ckpt_steps == 0:
                         self.ckpt.save(step, jax.device_get(self.state))
                     if sample_steps and step % int(sample_steps) == 0:
-                        self.dump_samples(step)
+                        # conditional models sample from the current train
+                        # batch's conditions (the reference uses the last
+                        # train batch, train_conditional.py:542-570)
+                        self.dump_samples(
+                            step,
+                            cond_batch=batch if self.spec.cond_channels
+                            else None)
                     if max_steps and step >= max_steps:
                         break
         finally:

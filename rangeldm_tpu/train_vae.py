@@ -211,7 +211,9 @@ class VaeTrainer:
         )
         logger = ScalarLogger(
             self.out_dir,
-            tensorboard=bool(self.cfg.get("tensorboard", True)))
+            tensorboard=bool(self.cfg.get("tensorboard", True)),
+            csv=bool(self.cfg.get("csv_log", False)),
+            wandb=bool(self.cfg.get("wandb", False)))
         last = {}
 
         def save_now():
@@ -309,13 +311,15 @@ def main():
     )
     dcfg = cfg.get("data", {})
     encoding = cfg.get("loss", {}).get("encoding", "linear")
-    ds = RangeImageDataset(DatasetConfig(
+    ds_config = DatasetConfig(
         root=dcfg.get("root", ""), sensor=dcfg.get("sensor", "kitti360"),
         width=int(dcfg.get("width", 1024)),
         used_feature=int(dcfg.get("used_feature", 2)),
         log=encoding == "log", inverse=encoding == "inverse",
-        mean=dcfg.get("mean"), std=dcfg.get("std")), train=True)
-    loader = RangeLoader(ds, batch_size=int(cfg.get("batch_size", 16)),
+        mean=dcfg.get("mean"), std=dcfg.get("std"))
+    ds = RangeImageDataset(ds_config, train=True)
+    bs = int(cfg.get("batch_size", 16))
+    loader = RangeLoader(ds, batch_size=bs,
                          shard_by_process=jax.process_count() > 1)
 
     trainer = VaeTrainer(cfg)
@@ -327,6 +331,21 @@ def main():
 
     total = int(cfg.get("max_epochs", 1000)) * len(loader)
     trainer.fit(epochs(), max_steps=args.max_steps or total)
+
+    # post-fit test pass over the held-out split, mirroring
+    # vae/main.py:905-906 `trainer.test(model, data)` (the reference's
+    # test_dataloader serves the train=False drives); logs live + EMA
+    # reconstruction losses and persists them next to the checkpoints.
+    val_ds = RangeImageDataset(ds_config, train=False)
+    if len(val_ds) and jax.process_index() == 0:
+        val_loader = RangeLoader(val_ds, batch_size=bs, shuffle=False,
+                                 drop_last=False)
+        val = trainer.validate(val_loader)
+        print("[val]", json.dumps(val))
+        with open(os.path.join(trainer.out_dir, "val_metrics.json"),
+                  "w") as f:
+            json.dump({"step": int(trainer.state.step), **val}, f)
+
     trainer.save_final()
 
 

@@ -50,18 +50,35 @@ def params_fingerprint(params) -> str:
     return h.hexdigest()[:24]
 
 
+def dataset_fingerprint(dataset) -> str:
+    """Content hash of the dataset's *identity* — the sorted file list when
+    the dataset exposes one (RangeImageDataset.files), else its repr —
+    so a cache built from one data.root is never silently reused for a
+    different file set that happens to have the same length."""
+    import hashlib
+    files = getattr(dataset, "files", None)
+    if files is not None:
+        blob = "\n".join(sorted(str(f) for f in files))
+    else:
+        blob = f"{type(dataset).__qualname__}:{len(dataset)}"
+    return hashlib.sha256(blob.encode()).hexdigest()[:24]
+
+
 def precompute_moments(vae, vae_params, dataset, batch_size: int = 32,
                        out_path: Optional[str] = None,
-                       tag: str = "", log=None) -> np.ndarray:
+                       tag: str = "", log=None,
+                       data_tag: Optional[str] = None) -> np.ndarray:
     """One ordered encode pass over `dataset` -> (N, h, w, 2z) float32.
 
     With `out_path` the result is a reusable .npy written atomically
     (tmp + os.replace — concurrent multi-host writers on a shared
     filesystem each produce a complete file, last one wins, never a
     truncated memmap); a sidecar `<out_path>.json` records {n, tag, shape}
-    and the cache is only reused when all match. Pass a CONTENT
-    fingerprint of the VAE (params_fingerprint) as `tag` — a path string
-    goes stale when the checkpoint is retrained in place.
+    and the cache is only reused when all match, including a dataset
+    fingerprint (hash of the sorted file list) so a different data.root
+    with the same sample count can never silently reuse stale latents.
+    Pass a CONTENT fingerprint of the VAE (params_fingerprint) as `tag` —
+    a path string goes stale when the checkpoint is retrained in place.
 
     The pass streams through a threaded RangeLoader so projection I/O
     overlaps the device encodes."""
@@ -69,12 +86,15 @@ def precompute_moments(vae, vae_params, dataset, batch_size: int = 32,
     if n == 0:
         raise ValueError("precompute_moments: dataset is empty "
                          "(check data.root)")
+    if data_tag is None:
+        data_tag = dataset_fingerprint(dataset)
     if out_path and os.path.exists(out_path):
         try:
             with open(out_path + ".json") as f:
                 meta = json.load(f)
             cached = np.load(out_path, mmap_mode="r")
             if (meta.get("n") == n and meta.get("tag") == tag
+                    and meta.get("data_tag") == data_tag
                     and tuple(meta.get("shape", ())) == cached.shape):
                 if log:
                     log(f"[latent-cache] reusing {out_path}")
@@ -113,6 +133,7 @@ def precompute_moments(vae, vae_params, dataset, batch_size: int = 32,
         del moments
         os.replace(write_path, out_path)
         with open(out_path + ".json", "w") as f:
-            json.dump({"n": n, "tag": tag, "shape": list(shape)}, f)
+            json.dump({"n": n, "tag": tag, "data_tag": data_tag,
+                       "shape": list(shape)}, f)
         return np.load(out_path, mmap_mode="r")
     return moments

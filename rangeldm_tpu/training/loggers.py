@@ -3,7 +3,12 @@
 ScalarLogger is the `accelerator.log` / Lightning-logger equivalent
 (ldm/train_unconditional.py:587-591, vae/main.py:668-709): every scalar dict
 goes to a jsonl stream (always) and to TensorBoard event files
-(tensorboardX, when importable).
+(tensorboardX, when importable). The reference's optional wandb / CSV
+logger choices (vae/main.py:668-709) map to the `wandb=` and `csv=` sinks:
+CSV writes a Lightning-CSVLogger-style metrics.csv (header = union of keys,
+rewritten when new keys appear), wandb is env-gated (skipped silently when
+the package is absent; honors WANDB_MODE, defaulting to offline so no
+sandbox egress is attempted).
 
 emergency_checkpoint re-implements the reference's "melk" machinery
 (vae/main.py:254-261, 876-895): a SIGUSR1 handler (cluster preemption
@@ -23,7 +28,8 @@ from typing import Callable, Dict, Optional
 
 class ScalarLogger:
     def __init__(self, out_dir: str, jsonl: str = "train_log.jsonl",
-                 tensorboard: bool = True):
+                 tensorboard: bool = True, csv: bool = False,
+                 wandb: bool = False, wandb_project: str = "rangeldm_tpu"):
         os.makedirs(out_dir, exist_ok=True)
         self.jsonl_path = os.path.join(out_dir, jsonl)
         self.tb = None
@@ -33,6 +39,35 @@ class ScalarLogger:
                 self.tb = SummaryWriter(os.path.join(out_dir, "tb"))
             except Exception:
                 self.tb = None
+        self.csv_path = os.path.join(out_dir, "metrics.csv") if csv else None
+        self._csv_keys: list = []
+        self._csv_rows: list = []
+        self.wandb = None
+        if wandb:
+            try:
+                import wandb as wandb_mod
+                self.wandb = wandb_mod.init(
+                    project=wandb_project, dir=out_dir,
+                    mode=os.environ.get("WANDB_MODE", "offline"))
+            except Exception:
+                self.wandb = None
+
+    def _write_csv(self, rec: Dict[str, float]) -> None:
+        import csv as csv_mod
+        self._csv_rows.append(rec)
+        new_keys = [k for k in rec if k not in self._csv_keys]
+        if new_keys:
+            # header grows -> rewrite the whole file (rows are sparse and
+            # few: one per log_every steps), exactly Lightning CSVLogger's
+            # behavior on new metric keys
+            self._csv_keys.extend(new_keys)
+            with open(self.csv_path, "w", newline="") as f:
+                w = csv_mod.DictWriter(f, fieldnames=self._csv_keys)
+                w.writeheader()
+                w.writerows(self._csv_rows)
+        else:
+            with open(self.csv_path, "a", newline="") as f:
+                csv_mod.DictWriter(f, fieldnames=self._csv_keys).writerow(rec)
 
     def log(self, step: int, scalars: Dict[str, float]) -> None:
         rec = {k: float(v) for k, v in scalars.items()}
@@ -43,11 +78,18 @@ class ScalarLogger:
             for k, v in rec.items():
                 if k != "step":
                     self.tb.add_scalar(k, v, int(step))
+        if self.csv_path is not None:
+            self._write_csv(rec)
+        if self.wandb is not None:
+            self.wandb.log({k: v for k, v in rec.items() if k != "step"},
+                           step=int(step))
 
     def close(self) -> None:
         if self.tb is not None:
             self.tb.flush()
             self.tb.close()
+        if self.wandb is not None:
+            self.wandb.finish()
 
 
 @contextlib.contextmanager

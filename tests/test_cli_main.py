@@ -40,6 +40,13 @@ def kitti_tree(tmp_path, rng):
     for i in range(8):
         synthetic_scan(rng, n=4000).astype(np.float32).tofile(
             str(d / f"{i:010d}.bin"))
+    # held-out drive 0000 (val split; kitti360_range_image.py:76-80)
+    v = tmp_path / "kitti" / "data_3d_raw" / "2013_05_28_drive_0000_sync" \
+        / "velodyne_points" / "data"
+    v.mkdir(parents=True)
+    for i in range(4):
+        synthetic_scan(rng, n=4000).astype(np.float32).tofile(
+            str(v / f"{i:010d}.bin"))
     return str(tmp_path / "kitti")
 
 
@@ -86,6 +93,12 @@ def test_train_vae_main(monkeypatch, tmp_path, kitti_tree):
     run_main(monkeypatch, mod, cfg_path)
     assert os.path.exists(os.path.join(out, "train_log.jsonl"))
     assert os.path.exists(os.path.join(out, "vae_sgm.safetensors"))
+    # post-fit test pass over the held-out drives (vae/main.py:905-906)
+    import json
+    with open(os.path.join(out, "val_metrics.json")) as f:
+        val = json.load(f)
+    assert np.isfinite(val["val/rec_loss"])
+    assert np.isfinite(val["val/rec_loss_ema"])
 
 
 def test_vae_trainer_loss_branch_plumbing(tmp_path):

@@ -23,6 +23,32 @@ def test_scalar_logger_jsonl_and_tensorboard(tmp_path):
     assert events and os.path.getsize(events[0]) > 0
 
 
+def test_scalar_logger_csv_sink(tmp_path):
+    """Lightning-CSVLogger-style metrics.csv (vae/main.py:668-709 CSV
+    logger option): header = union of keys, rewritten when a new metric
+    appears mid-run; earlier rows get empty cells for the new column."""
+    import csv
+    lg = ScalarLogger(str(tmp_path), tensorboard=False, csv=True)
+    lg.log(1, {"loss": 0.5})
+    lg.log(2, {"loss": 0.25, "lr": 1e-4})   # new key -> header rewrite
+    lg.log(3, {"loss": 0.125})
+    lg.close()
+    with open(tmp_path / "metrics.csv", newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["1", "2", "3"]
+    assert rows[0]["lr"] == "" and rows[1]["lr"] == "0.0001"
+    assert rows[2]["loss"] == "0.125"
+
+
+def test_scalar_logger_wandb_gated(tmp_path):
+    """wandb=True must degrade silently when the package is absent (the
+    sandbox has no wandb; env-gated per SURVEY section 5)."""
+    lg = ScalarLogger(str(tmp_path), tensorboard=False, wandb=True)
+    lg.log(1, {"loss": 0.5})
+    lg.close()
+    assert json.loads(open(tmp_path / "train_log.jsonl").read())["loss"] == 0.5
+
+
 def test_emergency_checkpoint_on_exception():
     saved = []
     with pytest.raises(RuntimeError):

@@ -120,11 +120,18 @@ def test_train_upsample_conditional(rng, tmp_path):
     cfg = Cfg.wrap({
         "model": "tiny_upsample", "output_dir": str(tmp_path / "up"),
         "upsample": 2, "use_ema": False, "with_vae": True,
-        "checkpointing_steps": 100,
+        "checkpointing_steps": 100, "sample_every_steps": 2,
+        "ddpm_num_inference_steps": 3,
     })
     tr = LdmTrainer(cfg)
     last = tr.fit(batches(rng, 3, extra="down"), max_steps=3, log_every=1)
     assert np.isfinite(last["loss"])
+    # in-training conditional sample dump from the current batch's
+    # conditions (train_conditional.py:542-570 parity): triplet grids
+    base = os.path.join(str(tmp_path / "up"), "samples")
+    for name in ("result", "target", "input"):
+        assert os.path.exists(
+            os.path.join(base, f"samples_step00000002_{name}.png")), name
 
 
 @pytest.mark.heavy
@@ -337,6 +344,19 @@ def test_latent_cache_matches_live_encode(rng, tmp_path):
     again = precompute_moments(vae, vp, Ds(), batch_size=4, out_path=out,
                                tag="test")
     np.testing.assert_array_equal(np.asarray(again), np.asarray(moments))
+
+    # a different dataset identity (same length!) must invalidate the
+    # cache even with the same tag/n/shape (ADVICE r2: data fingerprint)
+    class DsOther(Ds):
+        files = ["other_root/%d.bin" % i for i in range(6)]
+
+        def __getitem__(self, i):
+            return {"jpg": imgs[::-1][i]}
+
+    other = precompute_moments(vae, vp, DsOther(), batch_size=4,
+                               out_path=out, tag="test")
+    np.testing.assert_array_equal(np.asarray(other),
+                                  np.asarray(moments)[::-1])
 
     state = TrainState.create(up, tx, with_ema=False)
     key = jax.random.PRNGKey(7)
