@@ -140,7 +140,10 @@ class Attention(nn.Module):
 
     On TPU the SDPA runs as a Pallas fused kernel (ops/attention.py) — the
     head_dim-8 configuration is HBM-bound with materialized scores and the
-    fusion is a ~3x UNet-forward speedup; numerics are identical.
+    fusion is a ~3x UNet-forward speedup; numerics match the plain path
+    within compute-dtype rounding (the fused kernel's ones-row trick
+    accumulates the softmax denominator in the compute dtype — bf16 under
+    mixed precision — where attention_mh keeps it f32).
     `use_fused=None` auto-selects by backend.
 
     The whole block runs channel-major: one transpose into (B, C, T), the

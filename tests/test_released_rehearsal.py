@@ -1,0 +1,210 @@
+"""Released-config torch-twin rehearsal (VERDICT r2 next-step #1).
+
+The converters' singular purpose is dropping in the released checkpoints
+(ldm/convert_vae.py:14-121, pipeline dirs per
+ldm/train_unconditional.py:654-682). Zero egress blocks the real weight
+files, so these tests rehearse everything *except* the weights file:
+
+  1. forward parity at the EXACT released UNet grammars —
+     the flagship 4-level attn-heavy RangeLDM UNet
+     (ldm/configs/RangeLDM.yaml: block_out 128/128/256/256, time_embed
+     512, attn at down 1-3 / up 0-2) and the 6-level RangeDM UNet
+     (ldm/configs/RangeDM.yaml: block_out 128..512, attn only at down-4 /
+     up-1) at real channel widths (reduced spatial);
+  2. forward parity of the released kitti360 VAE grammar (ch 64,
+     ch_mult [1,2,4], z 4; vae/configs/kitti360.yaml) at real widths;
+  3. one full seed-matched 50-step sampling chain: torch twin UNet + twin
+     VAE + a hand-rolled DDIM loop implementing the diffusers formulas the
+     reference samples with (LDMPipelineRange, ldm/pipelines.py:329-367:
+     init_noise_sigma scaling, leading timestep spacing, pos-encoding
+     channel concat per step, /scaling_factor, VAE decode) vs our
+     `latent_sample` lax.scan with converted weights. Gate: final range
+     image max-abs diff <= 1e-3 f32, per-stage latent diffs reported.
+
+With these green, released-checkpoint support is weights-file-only risk.
+"""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from torch_twins import (
+    CConv, DifUNet, SgmVae, from_torch, randomize, sd_numpy, to_torch,
+)
+from rangeldm_tpu.convert.diffusers_unet import convert_diffusers_unet_state_dict
+from rangeldm_tpu.convert.sgm_vae import convert_sgm_vae_state_dict
+from rangeldm_tpu.diffusion.schedule import Schedule, ScheduleConfig
+from rangeldm_tpu.models.unet import UNet2D, UNetConfig
+from rangeldm_tpu.models.vae import AutoencoderKL, VaeConfig
+from rangeldm_tpu.pipelines.samplers import (
+    denoise, latent_sample, make_pos_encoding,
+)
+
+FLAGSHIP = dict(
+    block_out=(128, 128, 256, 256),
+    down_types=("DownBlock2D", "AttnDownBlock2D", "AttnDownBlock2D",
+                "AttnDownBlock2D"),
+    up_types=("AttnUpBlock2D", "AttnUpBlock2D", "AttnUpBlock2D",
+              "UpBlock2D"),
+)
+RANGEDM = dict(
+    block_out=(128, 128, 256, 256, 512, 512),
+    down_types=("DownBlock2D",) * 4 + ("AttnDownBlock2D", "DownBlock2D"),
+    up_types=("UpBlock2D", "AttnUpBlock2D") + ("UpBlock2D",) * 4,
+)
+
+
+def _unet_cfg(sample_size, cin, cout, grammar):
+    return UNetConfig(sample_size=sample_size, in_channels=cin,
+                      out_channels=cout,
+                      block_out_channels=grammar["block_out"],
+                      down_block_types=grammar["down_types"],
+                      up_block_types=grammar["up_types"],
+                      use_fused_attention=False)
+
+
+def _unet_parity(rng, grammar, sample_size, cin, cout, seed, tol):
+    tm = DifUNet(cin=cin, cout=cout, **grammar)
+    randomize(tm, seed=seed, scale=0.04)
+    tm.eval()
+    params = convert_diffusers_unet_state_dict(sd_numpy(tm))
+
+    x = rng.standard_normal((1, *sample_size, cin), dtype=np.float32)
+    t = np.array([981], np.int64)
+    with torch.no_grad():
+        want = from_torch(tm(to_torch(x), torch.from_numpy(t)))
+    cfg = _unet_cfg(sample_size, cin, cout, grammar)
+    got = np.asarray(UNet2D(cfg).apply({"params": params}, jnp.asarray(x),
+                                       jnp.asarray(t.astype(np.int32))))
+    diff = np.abs(got - want).max()
+    scale = np.abs(want).max()
+    print(f"\n[{len(grammar['block_out'])}-level grammar] "
+          f"out max|.|={scale:.3f} max-abs diff={diff:.2e}")
+    assert diff <= tol, (diff, scale)
+
+
+@pytest.mark.heavy
+def test_flagship_rangeldm_unet_grammar_parity(rng):
+    """RangeLDM.yaml grammar at real widths: in 5 (4 latent + pos-enc),
+    out 4, time_embed 512, attention at three down and three up levels.
+    Latent spatial reduced 256->64 azimuth (channel math is width-exact)."""
+    _unet_parity(rng, FLAGSHIP, sample_size=(16, 64), cin=5, cout=4,
+                 seed=11, tol=5e-4)
+
+
+@pytest.mark.heavy
+def test_rangedm_unet_grammar_parity(rng):
+    """RangeDM.yaml grammar at real widths: 6 levels to 512 channels, attn
+    only at down index 4 / up index 1, in 3 (2 data + pos-enc), out 2.
+    Spatial reduced 1024->64 azimuth."""
+    _unet_parity(rng, RANGEDM, sample_size=(64, 64), cin=3, cout=2,
+                 seed=12, tol=5e-4)
+
+
+@pytest.mark.heavy
+def test_released_vae_grammar_parity(rng):
+    """kitti360.yaml VAE at real widths (ch 64, mult [1,2,4], z 4)."""
+    tm = SgmVae(cio=2, ch=64, mult=(1, 2, 4), nrb=2, zc=4)
+    randomize(tm, seed=13, scale=0.04)
+    tm.eval()
+    params = convert_sgm_vae_state_dict(sd_numpy(tm))
+    vae = AutoencoderKL(VaeConfig())      # defaults ARE the released grammar
+
+    x = rng.standard_normal((1, 64, 128, 2), dtype=np.float32)
+    with torch.no_grad():
+        want = from_torch(tm.encoder(to_torch(x)))
+    got = np.asarray(vae.apply({"params": params}, jnp.asarray(x),
+                               method="encode_moments"))
+    enc_diff = np.abs(got - want).max()
+
+    z = rng.standard_normal((1, 16, 32, 4), dtype=np.float32)
+    with torch.no_grad():
+        want_d = from_torch(tm.decoder(to_torch(z)))
+    got_d = np.asarray(vae.apply({"params": params}, jnp.asarray(z),
+                                 method="decode"))
+    dec_diff = np.abs(got_d - want_d).max()
+    print(f"\n[released VAE grammar] encoder diff={enc_diff:.2e} "
+          f"decoder diff={dec_diff:.2e}")
+    assert enc_diff <= 5e-4 and dec_diff <= 5e-4
+
+
+@pytest.mark.heavy
+def test_released_config_full_sampling_chain(rng):
+    """Seed-matched 50-step torch-vs-lax.scan chain at the flagship grammar
+    (reduced azimuth): hand-rolled diffusers DDIM loop + twin VAE decode on
+    the torch side, `latent_sample` with converted weights on ours."""
+    NUM_STEPS, T_TRAIN, SF = 50, 1000, 0.18215
+    lh, lw = 16, 64                       # latent (beams, azimuth)
+
+    t_unet = DifUNet(cin=5, cout=4, **FLAGSHIP)
+    randomize(t_unet, seed=21, scale=0.04)
+    t_unet.eval()
+    t_vae = SgmVae(cio=2, ch=64, mult=(1, 2, 4), nrb=2, zc=4)
+    randomize(t_vae, seed=22, scale=0.04)
+    t_vae.eval()
+
+    unet_params = convert_diffusers_unet_state_dict(sd_numpy(t_unet))
+    vae_params = convert_sgm_vae_state_dict(sd_numpy(t_vae))
+    ucfg = _unet_cfg((lh, lw), 5, 4, FLAGSHIP)
+    unet = UNet2D(ucfg)
+    vae = AutoencoderKL(VaeConfig())
+    schedule = Schedule.create(ScheduleConfig())
+
+    def unet_fn(x, t):
+        return unet.apply({"params": unet_params}, x, t)
+
+    def vae_decode(z):
+        return vae.apply({"params": vae_params}, z, method="decode")
+
+    # ---- our pipeline, exactly as sample_ldm drives it ----------------
+    key = jax.random.PRNGKey(42)
+    image_j = np.asarray(latent_sample(
+        unet_fn, vae_decode, schedule, key, (1, lh, lw, 4), SF,
+        num_steps=NUM_STEPS, pos_encoding=True), np.float32)
+
+    # latent trajectory for per-stage reporting (same rng discipline as
+    # latent_sample: split -> init noise * init_noise_sigma)
+    rng_loop, init = jax.random.split(key)
+    lat0 = jax.random.normal(init, (1, lh, lw, 4), jnp.float32)
+    lat0 = lat0 * schedule.init_noise_sigma
+    pos_j = make_pos_encoding(1, lh, lw)
+    final_lat, traj_j = denoise(unet_fn, schedule, lat0, NUM_STEPS, rng_loop,
+                                method="ddim", pos_encoding=pos_j,
+                                collect_trajectory=True)
+    traj_j = np.asarray(traj_j, np.float32)
+
+    # ---- torch side: hand-rolled diffusers DDIM (ldm/pipelines.py) ----
+    betas = np.linspace(1e-4, 0.02, T_TRAIN, dtype=np.float32)
+    acp = np.cumprod(1.0 - betas).astype(np.float32)
+    ratio = T_TRAIN // NUM_STEPS
+    ts = (np.arange(NUM_STEPS) * ratio).round()[::-1].astype(np.int64)
+
+    x_t = to_torch(np.asarray(lat0))                     # (1, 4, W, H)
+    pos_t = torch.zeros((1, 1, lw, lh))
+    pos_t[:, :, 0, :] = 1.0                              # pipelines.py:348
+    traj_t = []
+    with torch.no_grad():
+        for t in ts:
+            traj_t.append(from_torch(x_t))
+            inp = torch.cat([x_t, pos_t], dim=1)
+            eps = t_unet(inp, torch.tensor([t]))
+            a_t = float(acp[t])
+            a_prev = float(acp[t - ratio]) if t >= ratio else 1.0
+            x0 = (x_t - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t)
+            x_t = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps
+        image_t = from_torch(t_vae.decoder(x_t / SF))
+
+    # ---- per-stage diffs + final gate ---------------------------------
+    stages = [0, 9, 24, 49]
+    report = {f"step{ts[k]}": float(np.abs(traj_j[k] - traj_t[k]).max())
+              for k in stages}
+    report["final_latent"] = float(
+        np.abs(np.asarray(final_lat) - from_torch(x_t)).max())
+    diff = float(np.abs(image_j - image_t).max())
+    report["decoded_image"] = diff
+    print("\n[full-chain per-stage max-abs diffs]",
+          {k: f"{v:.2e}" for k, v in report.items()})
+    assert np.isfinite(image_j).all()
+    assert diff <= 1e-3, report
