@@ -131,10 +131,19 @@ class NLayerDiscriminator(nn.Module):
                                 epsilon=1e-5, dtype=self.dtype, name=name,
                                 scale_init=_bn_scale_init)
 
-        # 3 stride-2 stages + a k4/s1 stage: inputs shorter than 16 beams
-        # collapse to an empty tensor whose BatchNorm is silently NaN.
-        assert min(x.shape[1], x.shape[2]) >= 2 ** self.n_layers * 2, \
-            f"input {x.shape} too small for a {self.n_layers}-layer PatchGAN"
+        # n_layers stride-2 k4/p1 stages (H -> (H-2)//2 + 1) followed by TWO
+        # k4/s1/p1 stages (H -> H-1 each): too-short inputs collapse to an
+        # empty tensor whose mean/BatchNorm is silently NaN. Assert on the
+        # exact output extent, not a loose power-of-two bound (a 16-row
+        # input passes min>=16 yet still ends empty: 16->8->4->2->1->0).
+        def out_extent(s):
+            for _ in range(self.n_layers):
+                s = (s - 2) // 2 + 1
+            return s - 2
+        short = min(x.shape[1], x.shape[2])
+        assert out_extent(short) >= 1, \
+            f"input {x.shape} too small for a {self.n_layers}-layer " \
+            f"PatchGAN (final feature extent {out_extent(short)})"
         h = conv(self.ndf, 2, "main_0", use_bias=True)(x)
         h = leaky_relu(h)
         nf, idx = 1, 2
