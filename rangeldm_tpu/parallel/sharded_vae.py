@@ -1,0 +1,171 @@
+"""Azimuth-sharded (sequence-parallel) VAE forwards via shard_map.
+
+Promotes the SP halo conv from a single validated op (parallel/spatial.py)
+to a demonstrated model path (VERDICT r2 next-step #7): the FULL sgm
+VAE encoder/decoder (vae/sgm/modules/diffusionmodules/model.py:707-1057)
+runs with every activation W-sharded over the mesh's azimuth axis —
+  * every 3x3 circular conv exchanges 1-pixel halos with `lax.ppermute`
+    around the ICI ring (the circular azimuth axis IS the ring, so global
+    wrap padding and the neighbour exchange coincide);
+  * the asymmetric stride-2 downsample (wrap (0,1) azi / zero (0,1) beams,
+    model.py:151-175) becomes a (0,1) halo + strided local conv;
+  * GroupNorm reduces its per-group statistics with a `psum` over the
+    azimuth axis (flax's E[x^2]-E[x]^2 formulation, kept bit-compatible);
+  * nearest-2x upsampling and 1x1 shortcuts are shard-local.
+
+This is the Waymo-scale extension path (SURVEY.md section 5 long-context:
+2650-row images, ldm/inference.py:169-170): activations at 64x1024x128 are
+the decoder's HBM bottleneck, and W-sharding divides them by the mesh size
+while keeping every collective a nearest-neighbour ppermute.
+
+Only the shipped attention-free configs are supported (attn_type 'none' —
+both released VAEs; a W-sharded single-head attention would need a
+ring-attention pass the workload never exercises).
+
+Parity: tests/test_sharded_vae.py asserts the sharded forwards match the
+single-device `AutoencoderKL.apply` to ~1e-5 on the 8-device virtual mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rangeldm_tpu.models.layers import nonlinearity, upsample_nearest
+from rangeldm_tpu.models.vae import VaeConfig
+from rangeldm_tpu.parallel.spatial import halo_exchange_w
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _conv(x, p, axis, strides=(1, 1), h_pad=(1, 1),
+          w_halo: Optional[Tuple[int, int]] = None):
+    """Shard-local CircularConv: halo exchange for k>1, plain for 1x1."""
+    k = p["kernel"]
+    if k.shape[0] == 1 and k.shape[1] == 1:
+        y = jnp.einsum("bhwc,cd->bhwd", x, k[0, 0])
+        return y + p["bias"]
+    if w_halo is None:
+        w_halo = (1, 1)
+    xs = halo_exchange_w(x, w_halo[0], w_halo[1], axis)
+    y = jax.lax.conv_general_dilated(
+        xs, k, window_strides=strides, padding=(h_pad, (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["bias"]
+
+
+def _gn(x, p, axis, groups: int = 32, eps: float = 1e-6):
+    """GroupNorm with group statistics psum-reduced over the azimuth axis
+    (exactly flax GroupNorm's mean / E[x^2]-mean^2 computation, extended
+    across shards)."""
+    b, h, wl, c = x.shape
+    xg = x.reshape(b, h, wl, groups, c // groups)
+    s = jax.lax.psum(jnp.sum(xg, axis=(1, 2, 4)), axis)
+    ss = jax.lax.psum(jnp.sum(jnp.square(xg), axis=(1, 2, 4)), axis)
+    n = h * wl * (c // groups) * jax.lax.axis_size(axis)
+    mean = s / n
+    var = ss / n - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)
+    xn = (xg - mean[:, None, None, :, None]) * inv[:, None, None, :, None]
+    return xn.reshape(b, h, wl, c) * p["scale"] + p["bias"]
+
+
+def _resnet(x, p, axis, act: str):
+    h = _gn(x, p["norm1"], axis)
+    h = nonlinearity(h, act)
+    h = _conv(h, p["conv1"], axis)
+    h = _gn(h, p["norm2"], axis)
+    h = nonlinearity(h, act)
+    h = _conv(h, p["conv2"], axis)
+    if "nin_shortcut" in p:
+        x = _conv(x, p["nin_shortcut"], axis)
+    elif "conv_shortcut" in p:
+        x = _conv(x, p["conv_shortcut"], axis)
+    return x + h
+
+
+def _check(cfg: VaeConfig):
+    if cfg.attn_type != "none":
+        raise NotImplementedError(
+            "sharded VAE forwards support the shipped attention-free "
+            "configs only (attn_type 'none')")
+    if cfg.coord or cfg.dropout:
+        raise NotImplementedError("coordconv/dropout not supported in the "
+                                  "sharded forward")
+
+
+def sharded_vae_decode(cfg: VaeConfig, params, z, mesh: Mesh,
+                       axis: str = "sp"):
+    """Decoder forward with z and all activations (B, H, W/axis, C)-sharded.
+
+    `params` is the AutoencoderKL params tree ({'encoder': ..,
+    'decoder': ..}); z the latent. Returns the decoded range image, still
+    W-sharded.
+    """
+    _check(cfg)
+    dp = params["decoder"]
+    n_levels = len(cfg.ch_mult)
+
+    def local(z, dp):
+        h = _conv(z, dp["conv_in"], axis)
+        h = _resnet(h, dp["mid_block_1"], axis, cfg.act)
+        h = _resnet(h, dp["mid_block_2"], axis, cfg.act)
+        for i in reversed(range(n_levels)):
+            for j in range(cfg.num_res_blocks + 1):
+                h = _resnet(h, dp[f"up_{i}_block_{j}"], axis, cfg.act)
+            if i != 0:
+                h = upsample_nearest(h)
+                h = _conv(h, dp[f"up_{i}_upsample"]["conv"], axis)
+        h = _gn(h, dp["norm_out"], axis)
+        h = nonlinearity(h, cfg.act)
+        return _conv(h, dp["conv_out"], axis)
+
+    if cfg.use_quant_conv:
+        pq = params["post_quant_conv"]
+        z = shard_map(lambda zz, p: _conv(zz, p, axis), mesh=mesh,
+                      in_specs=(P(None, None, axis, None), P()),
+                      out_specs=P(None, None, axis, None))(z, pq)
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(None, None, axis, None), P()),
+                     out_specs=P(None, None, axis, None))(z, dp)
+
+
+def sharded_vae_encode(cfg: VaeConfig, params, x, mesh: Mesh,
+                       axis: str = "sp"):
+    """Encoder forward (image -> posterior moments), W-sharded throughout.
+    The stride-2 downsample needs every shard's local W divisible by 2 at
+    each level (i.e. W / n_devices divisible by cfg.down_factor)."""
+    _check(cfg)
+    ep = params["encoder"]
+    n_levels = len(cfg.ch_mult)
+
+    def local(x, ep):
+        h = _conv(x, ep["conv_in"], axis)
+        for i in range(n_levels):
+            for j in range(cfg.num_res_blocks):
+                h = _resnet(h, ep[f"down_{i}_block_{j}"], axis, cfg.act)
+            if i != n_levels - 1:
+                # asymmetric stride-2: wrap (0,1) azi + zero (0,1) beams
+                h = _conv(h, ep[f"down_{i}_downsample"]["conv"], axis,
+                          strides=(2, 2), h_pad=(0, 1), w_halo=(0, 1))
+        h = _resnet(h, ep["mid_block_1"], axis, cfg.act)
+        h = _resnet(h, ep["mid_block_2"], axis, cfg.act)
+        h = _gn(h, ep["norm_out"], axis)
+        h = nonlinearity(h, cfg.act)
+        return _conv(h, ep["conv_out"], axis)
+
+    moments = shard_map(local, mesh=mesh,
+                        in_specs=(P(None, None, axis, None), P()),
+                        out_specs=P(None, None, axis, None))(x, ep)
+    if cfg.use_quant_conv:
+        qp = params["quant_conv"]
+        moments = shard_map(lambda m, p: _conv(m, p, axis), mesh=mesh,
+                            in_specs=(P(None, None, axis, None), P()),
+                            out_specs=P(None, None, axis, None))(moments, qp)
+    return moments
