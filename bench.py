@@ -137,12 +137,19 @@ def main():
 
     sps = best
 
-    # XLA's own FLOP count for the whole jitted pipeline (50 UNet steps +
-    # decode) -> useful-MFU; falls back to the documented analytic estimate
-    # if cost analysis is unavailable on this backend.
+    # XLA's own FLOP count -> useful-MFU. cost_analysis counts a lax.scan
+    # body ONCE regardless of trip count, so cost the UNet step and the
+    # VAE decode separately and combine: 50 x UNet + decode. Falls back to
+    # the documented analytic estimate if cost analysis is unavailable.
     try:
-        cost = sample.lower(rng).compile().cost_analysis()
-        flops_per_batch = float(cost["flops"])
+        lat_in = jnp.zeros((BATCH, h, w, spec.unet.in_channels), dtype)
+        ts = jnp.zeros((BATCH,), jnp.int32)
+        unet_flops = float(jax.jit(unet_fn).lower(lat_in, ts).compile()
+                           .cost_analysis()["flops"])
+        z_in = jnp.zeros((BATCH, h, w, spec.unet.out_channels), dtype)
+        dec_flops = float(jax.jit(vae_decode).lower(z_in).compile()
+                          .cost_analysis()["flops"])
+        flops_per_batch = STEPS * unet_flops + dec_flops
     except Exception:
         flops_per_batch = 1.15e12 * BATCH
     flops_per_sample = flops_per_batch / BATCH
