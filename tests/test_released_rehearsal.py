@@ -208,3 +208,78 @@ def test_released_config_full_sampling_chain(rng):
           {k: f"{v:.2e}" for k, v in report.items()})
     assert np.isfinite(image_j).all()
     assert diff <= 1e-3, report
+
+
+@pytest.mark.heavy
+def test_released_config_conditional_sampling_chain(rng):
+    """Seed-matched 50-step CONDITIONAL chain (upsample.yaml grammar:
+    in 12 = 4 latent + 8 unshuffled-sparse-image channels, no pos-enc) —
+    hand-rolled LDMUpscalePipelineRange loop (ldm/pipelines.py:460-508:
+    SparseRangeImageEncoder2 condition, per-step channel concat,
+    /scaling_factor + decode) vs our `conditional_latent_sample`."""
+    import torch as _torch
+    from rangeldm_tpu.models.layers import pixel_unshuffle_azimuth
+
+    NUM_STEPS, T_TRAIN, SF = 50, 1000, 0.18215
+    lh, lw = 16, 64                       # latent (beams, azimuth)
+
+    t_unet = DifUNet(cin=12, cout=4, **FLAGSHIP)
+    randomize(t_unet, seed=31, scale=0.04)
+    t_unet.eval()
+    t_vae = SgmVae(cio=2, ch=64, mult=(1, 2, 4), nrb=2, zc=4)
+    randomize(t_vae, seed=32, scale=0.04)
+    t_vae.eval()
+    unet_params = convert_diffusers_unet_state_dict(sd_numpy(t_unet))
+    vae_params = convert_sgm_vae_state_dict(sd_numpy(t_vae))
+    ucfg = _unet_cfg((lh, lw), 12, 4, FLAGSHIP)
+    unet = UNet2D(ucfg)
+    vae = AutoencoderKL(VaeConfig())
+    schedule = Schedule.create(ScheduleConfig())
+
+    # sparse condition image: beams-subsampled range image (16, 256, 2)
+    down = rng.standard_normal((1, lh, 4 * lw, 2)).astype(np.float32)
+    cond_j = pixel_unshuffle_azimuth(jnp.asarray(down), 4)   # (1,16,64,8)
+
+    def unet_fn(x, t):
+        return unet.apply({"params": unet_params}, x, t)
+
+    def vae_decode(z):
+        return vae.apply({"params": vae_params}, z, method="decode")
+
+    from rangeldm_tpu.pipelines.samplers import conditional_latent_sample
+    key = jax.random.PRNGKey(77)
+    image_j = np.asarray(conditional_latent_sample(
+        unet_fn, vae_decode, schedule, key, (1, lh, lw, 4), SF,
+        jnp.asarray(cond_j), num_steps=NUM_STEPS), np.float32)
+
+    # extract the seed-matched init latent (same rng discipline)
+    _, init = jax.random.split(key)
+    lat0 = np.asarray(jax.random.normal(init, (1, lh, lw, 4), jnp.float32))
+
+    # torch twin of SparseRangeImageEncoder2 (ldm/encoders.py:86-95)
+    dt = to_torch(down)                                       # (1, 2, 1024, 16)
+    B, C, Wt, Ht = dt.shape
+    ct = dt.permute(0, 2, 1, 3).flatten(start_dim=1, end_dim=2)
+    cond_t = ct.reshape(B, Wt // 4, C * 4, Ht).permute(0, 2, 1, 3)
+    np.testing.assert_allclose(from_torch(cond_t), np.asarray(cond_j),
+                               rtol=0, atol=0)
+
+    betas = np.linspace(1e-4, 0.02, T_TRAIN, dtype=np.float32)
+    acp = np.cumprod(1.0 - betas).astype(np.float32)
+    ratio = T_TRAIN // NUM_STEPS
+    ts = (np.arange(NUM_STEPS) * ratio).round()[::-1].astype(np.int64)
+    x_t = to_torch(lat0)
+    with _torch.no_grad():
+        for t in ts:
+            inp = _torch.cat([x_t, cond_t], dim=1)
+            eps = t_unet(inp, _torch.tensor([t]))
+            a_t = float(acp[t])
+            a_prev = float(acp[t - ratio]) if t >= ratio else 1.0
+            x0 = (x_t - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t)
+            x_t = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps
+        image_t = from_torch(t_vae.decoder(x_t / SF))
+
+    diff = float(np.abs(image_j - image_t).max())
+    print(f"\n[conditional full-chain] decoded-image max-abs diff={diff:.2e}")
+    assert np.isfinite(image_j).all()
+    assert diff <= 1e-3, diff
