@@ -98,7 +98,13 @@ class Decoder(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, z: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, z: jnp.ndarray, deterministic: bool = True,
+                 pre_end: bool = False) -> jnp.ndarray:
+        """pre_end=True returns the activations FEEDING conv_out (after
+        norm_out + act) — the input of the adaptive-GAN-weight layer
+        (losses/__init__.py:200-215 differentiates w.r.t. conv_out.weight
+        only, so its gradients need just these features; the reference's
+        Decoder has the analogous give_pre_end, model.py:915)."""
         c = self.cfg
         kw = dict(act=c.act, circular=c.circular, coord=c.coord,
                   dropout=c.dropout, dtype=self.dtype)
@@ -127,6 +133,8 @@ class Decoder(nn.Module):
 
         h = GroupNorm(name="norm_out", dtype=self.dtype)(h)
         h = nonlinearity(h, c.act)
+        if pre_end:
+            return h
         return CircularConv(c.out_ch, 3, 1, 1, circular=c.circular,
                             coord=c.coord, dtype=self.dtype, name="conv_out")(h)
 
@@ -189,6 +197,14 @@ class AutoencoderKL(nn.Module):
         if self.cfg.use_quant_conv:
             z = self.post_quant_conv(z)
         return self.decoder(z, deterministic)
+
+    def decode_features(self, z, deterministic: bool = True):
+        """Decode up to (but not including) conv_out — the pre-last-layer
+        activations the adaptive GAN weight differentiates through
+        (training/vae_trainer.py; see Decoder.__call__ pre_end)."""
+        if self.cfg.use_quant_conv:
+            z = self.post_quant_conv(z)
+        return self.decoder(z, deterministic, pre_end=True)
 
     def __call__(self, x, rng: Optional[jax.Array] = None,
                  sample_posterior: bool = True, deterministic: bool = True):

@@ -225,16 +225,46 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
                 mutable=True)
             g_loss = -jnp.mean(logits_fake.astype(jnp.float32))
 
-            # adaptive weight at the decoder's final conv kernel
+            # adaptive weight at the decoder's final conv kernel. The
+            # reference's autograd.grad(·, last_layer) (losses/__init__.py:
+            # 200-215) differentiates ONLY w.r.t. conv_out.weight, and
+            # conv_out's input is independent of that weight — so compute
+            # the pre-last-layer features ONCE and differentiate through
+            # the single conv, instead of re-running (and re-backprop'ing)
+            # the whole decoder per cotangent. Mathematically identical;
+            # removes one full decoder forward + two full decoder
+            # backwards from the step (coord configs keep the general
+            # path: coordconv changes conv_out's input channels).
             w_last = vp["decoder"]["conv_out"]["kernel"]
+            b_last = vp["decoder"]["conv_out"]["bias"]
             z_sg = jax.lax.stop_gradient(z)
 
-            def dec(w):
-                p2 = {**vp, "decoder": {**vp["decoder"],
-                                        "conv_out": {**vp["decoder"]["conv_out"],
-                                                     "kernel": w}}}
-                return vae.apply({"params": p2}, z_sg,
-                                 method="decode").astype(jnp.float32)
+            if not vae.cfg.coord:
+                feats = vae.apply({"params": vp}, z_sg,
+                                  method="decode_features")
+
+                def dec(w):
+                    a = feats
+                    if vae.cfg.circular:
+                        from rangeldm_tpu.models.layers import (
+                            wrap_pad_azimuth,
+                        )
+                        a = wrap_pad_azimuth(a, 1, 1)
+                        pad = ((1, 1), (0, 0))
+                    else:
+                        pad = ((1, 1), (1, 1))
+                    y = jax.lax.conv_general_dilated(
+                        a, w.astype(a.dtype), (1, 1), pad,
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    return (y + b_last.astype(a.dtype)).astype(jnp.float32)
+            else:
+                def dec(w):
+                    p2 = {**vp, "decoder": {
+                        **vp["decoder"],
+                        "conv_out": {**vp["decoder"]["conv_out"],
+                                     "kernel": w}}}
+                    return vae.apply({"params": p2}, z_sg,
+                                     method="decode").astype(jnp.float32)
 
             xrec2, dec_vjp = jax.vjp(dec, w_last)
 

@@ -122,3 +122,53 @@ def test_mixed_precision_bf16_steps_run(tmp_path):
     assert gm["total_loss"].dtype == jnp.float32
     leaf = jax.tree.leaves(state.gen_params["vae"])[0]
     assert leaf.dtype == jnp.float32          # params stay f32
+
+
+@pytest.mark.heavy
+def test_adaptive_weight_fast_path_equals_full_decode(rng):
+    """The pre-last-features fast path for the adaptive GAN weight (only
+    conv_out.weight is differentiated, so its VJP needs just the features
+    feeding conv_out) must give EXACTLY the d_weight of differentiating a
+    full decoder re-run with a substituted last kernel — and the features
+    decode must recompose to the decoder output."""
+    from rangeldm_tpu.models.layers import wrap_pad_azimuth
+    from rangeldm_tpu.models.vae import gaussian_sample
+
+    vae_cfg = VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4)
+    vae = AutoencoderKL(vae_cfg)
+    x = jnp.asarray(rng.standard_normal((2, 16, 64, 2)).astype(np.float32))
+    vp = vae.init({"params": jax.random.PRNGKey(0)}, x,
+                  rng=jax.random.PRNGKey(1))["params"]
+    moments = vae.apply({"params": vp}, x, method="encode_moments")
+    z = gaussian_sample(jax.random.PRNGKey(3), moments)
+
+    # recomposition: features -> conv_out == decode
+    feats = vae.apply({"params": vp}, z, method="decode_features")
+    w = vp["decoder"]["conv_out"]["kernel"]
+    b = vp["decoder"]["conv_out"]["bias"]
+    a = wrap_pad_azimuth(feats, 1, 1)
+    y = jax.lax.conv_general_dilated(
+        a, w, (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    full = vae.apply({"params": vp}, z, method="decode")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(full),
+                               rtol=1e-6, atol=1e-6)
+
+    # VJP equality for an arbitrary cotangent
+    def dec_full(wk):
+        p2 = {**vp, "decoder": {**vp["decoder"],
+                                "conv_out": {**vp["decoder"]["conv_out"],
+                                             "kernel": wk}}}
+        return vae.apply({"params": p2}, z, method="decode")
+
+    def dec_fast(wk):
+        return jax.lax.conv_general_dilated(
+            a, wk, (1, 1), ((1, 1), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    cot = jnp.asarray(rng.standard_normal(full.shape).astype(np.float32))
+    _, vjp_full = jax.vjp(dec_full, w)
+    _, vjp_fast = jax.vjp(dec_fast, w)
+    np.testing.assert_allclose(np.asarray(vjp_fast(cot)[0]),
+                               np.asarray(vjp_full(cot)[0]),
+                               rtol=1e-5, atol=1e-6)
