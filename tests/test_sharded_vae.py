@@ -94,3 +94,22 @@ def test_unsupported_configs_raise(vae_setup):
     bad = dataclasses.replace(cfg, attn_type="vanilla")
     with pytest.raises(NotImplementedError):
         sharded_vae_decode(bad, params, jnp.zeros((1, 4, 32, 4)), _mesh())
+
+
+@pytest.mark.heavy
+def test_waymo_scale_sharded_decode(vae_setup):
+    """The concrete Waymo-scale claim (SURVEY section 5 long-context;
+    ldm/inference.py:169-170 crops 2650-column images): decode a
+    2656-azimuth latent with activations W-sharded over 8 devices (332
+    columns per shard at the finest level) and match the single-device
+    forward."""
+    cfg, vae, params, _ = vae_setup
+    mesh = _mesh()
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((1, 4, 664, 4)), jnp.float32)
+
+    want = np.asarray(vae.apply({"params": params}, z, method="decode"))
+    got = np.asarray(jax.jit(lambda zz: sharded_vae_decode(
+        cfg, params, zz, mesh))(jax.device_put(z, spatial_sharding(mesh))))
+    assert got.shape == want.shape == (1, 16, 2656, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
