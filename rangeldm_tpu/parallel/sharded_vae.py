@@ -98,6 +98,12 @@ def _check(cfg: VaeConfig):
     if cfg.coord or cfg.dropout:
         raise NotImplementedError("coordconv/dropout not supported in the "
                                   "sharded forward")
+    if not cfg.circular:
+        # the halo exchange IS circular wrap; a zero-padded-azimuth VAE
+        # would silently diverge at the shard-0/last-shard boundary
+        raise NotImplementedError(
+            "sharded VAE forwards require circular=True (the ring halo "
+            "exchange implements wrap padding)")
 
 
 def sharded_vae_decode(cfg: VaeConfig, params, z, mesh: Mesh,

@@ -151,6 +151,7 @@ class LdmTrainer:
                 self.vae, self.vae_params, self.train_cfg.scaling_factor,
                 self.spec.unet.sample_size)
         self.cond_fn = cond_fn
+        self._cond_sample_fns = {}   # batch_size -> jitted sampler
 
         vae_apply = None
         if self.vae is not None:
@@ -242,42 +243,57 @@ class LdmTrainer:
 
         return jax.jit(sample)
 
+    def _dump_norm(self):
+        """(mean, std) used to denormalize dumped grids — one resolution
+        shared by the conditional and unconditional dump paths."""
+        dcfg = self.cfg.get("data", {})
+        from rangeldm_tpu.geometry import get_spec
+        sp = get_spec(dcfg.get("sensor", self.spec.sensor))
+        return float(dcfg.get("mean", sp.mean)), float(dcfg.get("std", sp.std))
+
+    @staticmethod
+    def _to_local_np(x) -> np.ndarray:
+        """Host copy of an array that may be sharded across processes: a
+        multi-host global batch spans non-addressable devices, so fall back
+        to this process's addressable shards (each process dumps from its
+        own slice, as the reference's per-rank sampling would)."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            shards = sorted(x.addressable_shards, key=lambda s: s.index)
+            return np.concatenate([np.asarray(s.data) for s in shards])
+        return np.asarray(x)
+
     def _dump_conditional(self, step: int, cond_batch) -> str:
         """Write result/target/input grids from the held train batch's
         conditions (reference triplet layout, train_conditional.py:542-570)."""
         from rangeldm_tpu.training.image_logger import save_range_image_grid
         keys = [k for k in ("down", "masked_image", "inpainting_mask")
                 if k in cond_batch]
-        n = min(int(np.asarray(cond_batch[keys[0]]).shape[0]), 8)
-        cond_inputs = {k: jnp.asarray(np.asarray(cond_batch[k])[:n])
-                       for k in keys}
-        fn = getattr(self, "_cond_sample_fns", {}).get(n)
+        local = {k: self._to_local_np(cond_batch[k]) for k in keys}
+        n = min(int(local[keys[0]].shape[0]), 8)
+        cond_inputs = {k: jnp.asarray(v[:n]) for k, v in local.items()}
+        fn = self._cond_sample_fns.get(n)
         if fn is None:
-            fn = self.make_cond_sample_fn(
+            fn = self._cond_sample_fns[n] = self.make_cond_sample_fn(
                 n, num_steps=int(self.cfg.get("ddpm_num_inference_steps", 50)))
-            self._cond_sample_fns = getattr(self, "_cond_sample_fns", {})
-            self._cond_sample_fns[n] = fn
         params = self.state.ema_params if self.state.ema_params is not None \
             else self.state.params
         result = np.asarray(fn(params, jax.random.PRNGKey(step), cond_inputs),
                             np.float32)
-        dcfg = self.cfg.get("data", {})
-        from rangeldm_tpu.geometry import get_spec
-        sp = get_spec(dcfg.get("sensor", self.spec.sensor))
-        mean = float(dcfg.get("mean", sp.mean))
-        std = float(dcfg.get("std", sp.std))
+        mean, std = self._dump_norm()
         base = os.path.join(self.out_dir, "samples")
         grids = {"result": result}
         if "jpg" in cond_batch:
-            grids["target"] = np.asarray(cond_batch["jpg"])[:n]
-        grids["input"] = np.asarray(
-            cond_batch.get("down", cond_batch.get("masked_image")))[:n]
+            grids["target"] = self._to_local_np(cond_batch["jpg"])[:n]
+        grids["input"] = local[
+            "down" if "down" in local else "masked_image"][:n]
+        suffix = f"_p{jax.process_index()}" if jax.process_count() > 1 else ""
         for name, imgs in grids.items():
             save_range_image_grid(
                 np.asarray(imgs, np.float32),
-                os.path.join(base, f"samples_step{step:08d}_{name}.png"),
+                os.path.join(base,
+                             f"samples_step{step:08d}_{name}{suffix}.png"),
                 mean=mean, std=std)
-        return os.path.join(base, f"samples_step{step:08d}_result.png")
+        return os.path.join(base, f"samples_step{step:08d}_result{suffix}.png")
 
     def dump_samples(self, step: int, sample_fn=None,
                      cond_batch=None) -> Optional[str]:
@@ -302,12 +318,8 @@ class LdmTrainer:
                           np.float32)
         path = os.path.join(self.out_dir, "samples",
                             f"samples_step{step:08d}.png")
-        dcfg = self.cfg.get("data", {})
-        from rangeldm_tpu.geometry import get_spec
-        sp = get_spec(dcfg.get("sensor", self.spec.sensor))
-        save_range_image_grid(imgs, path,
-                              mean=float(dcfg.get("mean", sp.mean)),
-                              std=float(dcfg.get("std", sp.std)))
+        mean, std = self._dump_norm()
+        save_range_image_grid(imgs, path, mean=mean, std=std)
         return path
 
     def fit(self, batches, max_steps: Optional[int] = None,

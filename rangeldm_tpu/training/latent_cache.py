@@ -51,14 +51,17 @@ def params_fingerprint(params) -> str:
 
 
 def dataset_fingerprint(dataset) -> str:
-    """Content hash of the dataset's *identity* — the sorted file list when
-    the dataset exposes one (RangeImageDataset.files), else its repr —
-    so a cache built from one data.root is never silently reused for a
-    different file set that happens to have the same length."""
+    """Content hash of the dataset's *identity*: the sorted file list when
+    the dataset exposes one (RangeImageDataset.files) PLUS its projection
+    config (`cfg`, a DatasetConfig — sensor/width/encoding/mean/std all
+    change the encoded moments), else its repr — so a cache is never
+    silently reused for a different file set OR a renormalized projection
+    of the same files."""
     import hashlib
     files = getattr(dataset, "files", None)
     if files is not None:
         blob = "\n".join(sorted(str(f) for f in files))
+        blob += "\n" + repr(getattr(dataset, "cfg", ""))
     else:
         blob = f"{type(dataset).__qualname__}:{len(dataset)}"
     return hashlib.sha256(blob.encode()).hexdigest()[:24]

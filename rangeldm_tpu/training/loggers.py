@@ -42,6 +42,17 @@ class ScalarLogger:
         self.csv_path = os.path.join(out_dir, "metrics.csv") if csv else None
         self._csv_keys: list = []
         self._csv_rows: list = []
+        if self.csv_path and os.path.exists(self.csv_path):
+            # resume: reload the previous run's rows so the first post-
+            # resume log() appends instead of truncating the history
+            import csv as csv_mod
+            try:
+                with open(self.csv_path, newline="") as f:
+                    reader = csv_mod.DictReader(f)
+                    self._csv_keys = list(reader.fieldnames or [])
+                    self._csv_rows = list(reader)
+            except Exception:
+                self._csv_keys, self._csv_rows = [], []
         self.wandb = None
         if wandb:
             try:

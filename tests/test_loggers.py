@@ -40,6 +40,23 @@ def test_scalar_logger_csv_sink(tmp_path):
     assert rows[2]["loss"] == "0.125"
 
 
+def test_scalar_logger_csv_survives_resume(tmp_path):
+    """A fresh ScalarLogger over an existing metrics.csv (training resume)
+    must append, not truncate, the prior history — including when the
+    resumed run introduces a new metric key."""
+    import csv
+    lg = ScalarLogger(str(tmp_path), tensorboard=False, csv=True)
+    lg.log(1, {"loss": 0.5})
+    lg.close()
+    lg2 = ScalarLogger(str(tmp_path), tensorboard=False, csv=True)
+    lg2.log(2, {"loss": 0.25, "lr": 1e-4})
+    lg2.close()
+    with open(tmp_path / "metrics.csv", newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["1", "2"]
+    assert rows[0]["loss"] == "0.5" and rows[1]["lr"] == "0.0001"
+
+
 def test_scalar_logger_wandb_gated(tmp_path):
     """wandb=True must degrade silently when the package is absent (the
     sandbox has no wandb; env-gated per SURVEY section 5)."""

@@ -94,6 +94,12 @@ def test_unsupported_configs_raise(vae_setup):
     bad = dataclasses.replace(cfg, attn_type="vanilla")
     with pytest.raises(NotImplementedError):
         sharded_vae_decode(bad, params, jnp.zeros((1, 4, 32, 4)), _mesh())
+    # circular=False must refuse: the ring halo exchange IS wrap padding,
+    # so a zero-padded-azimuth VAE would silently diverge at shard edges
+    noncirc = dataclasses.replace(cfg, circular=False)
+    with pytest.raises(NotImplementedError, match="circular"):
+        sharded_vae_decode(noncirc, params, jnp.zeros((1, 4, 32, 4)),
+                           _mesh())
 
 
 @pytest.mark.heavy

@@ -358,6 +358,21 @@ def test_latent_cache_matches_live_encode(rng, tmp_path):
     np.testing.assert_array_equal(np.asarray(other),
                                   np.asarray(moments)[::-1])
 
+    # a changed projection config over the SAME files must also invalidate
+    # (data.mean/std/encoding change the encoded moments; ADVICE r2 +
+    # round-3 review)
+    from rangeldm_tpu.training.latent_cache import dataset_fingerprint
+
+    class DsCfg(Ds):
+        files = list(DsOther.files)
+        cfg = "mean=20,std=40"
+
+    class DsCfg2(DsCfg):
+        cfg = "mean=50,std=50"
+
+    assert dataset_fingerprint(DsCfg()) != dataset_fingerprint(DsCfg2())
+    assert dataset_fingerprint(DsCfg()) == dataset_fingerprint(DsCfg())
+
     state = TrainState.create(up, tx, with_ema=False)
     key = jax.random.PRNGKey(7)
     _, m_live = step(state, jnp.asarray(imgs[:4]), key)
