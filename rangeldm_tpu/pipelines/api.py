@@ -1,0 +1,149 @@
+"""User-facing pipeline API — the `DiffusionPipeline.from_pretrained`
+convenience surface of the reference (ldm/pipelines.py: DDPMPipelineRange /
+DDIMPipelineRange / LDMPipelineRange / LDMUpscalePipelineRange all inherit
+save/from_pretrained from diffusers) on top of the functional samplers.
+
+    from rangeldm_tpu.pipelines import RangePipeline
+    pipe = RangePipeline.from_pretrained("runs/rangeldm_kitti360/pipeline")
+    images = pipe(batch_size=16, num_inference_steps=50, seed=0)
+    clouds = pipe.to_point_clouds(images)
+
+    up = RangePipeline.from_pretrained("runs/upsample/pipeline")
+    dense = up.upsample(sparse_images)          # 4x beam densification
+    inp = RangePipeline.from_pretrained("runs/inpainting/pipeline")
+    filled = inp.inpaint(masked_images, masks)  # azimuth-sector inpainting
+
+Accepts both our orbax pipeline dirs and released HF diffusers dirs
+(load_any_pipeline routes by layout). Jitted programs are cached per
+(kind, batch, steps, method) so repeated calls run at device speed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RangePipeline:
+    def __init__(self, pipe: dict, sensor: str = "kitti360",
+                 dtype=jnp.bfloat16, spec=None):
+        self._p = pipe
+        self.sensor = sensor
+        self.dtype = dtype
+        self._spec = spec          # explicit SensorSpec override
+        self._fns = {}
+
+    # -- construction ---------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, path: str, sensor: str = "kitti360",
+                        dtype=jnp.bfloat16, use_ema: bool = True
+                        ) -> "RangePipeline":
+        from rangeldm_tpu.sample_ldm import (
+            is_diffusers_pipeline, load_diffusers_pipeline, load_pipeline,
+        )
+        from rangeldm_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
+        if is_diffusers_pipeline(path):
+            pipe = load_diffusers_pipeline(path, dtype=dtype, use_ema=use_ema)
+        else:
+            pipe = load_pipeline(path, dtype=dtype, use_ema=use_ema)
+        return cls(pipe, sensor=sensor, dtype=dtype)
+
+    # -- introspection --------------------------------------------------
+    @property
+    def unet_config(self):
+        return self._p["unet_cfg"]
+
+    @property
+    def is_latent(self) -> bool:
+        return self._p["vae"] is not None
+
+    @property
+    def cond_channels(self) -> int:
+        cfg = self._p["unet_cfg"]
+        pos = 1 if bool(self._p["meta"].get("pos_encoding", True)) else 0
+        return cfg.in_channels - cfg.out_channels - pos
+
+    @property
+    def spec(self):
+        if self._spec is not None:
+            return self._spec
+        from rangeldm_tpu.geometry import get_spec
+        return get_spec(self.sensor)
+
+    # -- unconditional generation --------------------------------------
+    def __call__(self, batch_size: int = 1, num_inference_steps: int = 50,
+                 seed: int = 0, rng: Optional[jax.Array] = None,
+                 method: str = "ddim") -> np.ndarray:
+        """Generate `batch_size` range images (B, H, W, C), normalized
+        (LDMPipelineRange/DDIMPipelineRange __call__)."""
+        if self.cond_channels > 0:
+            raise ValueError("conditional pipeline: use .upsample() / "
+                             ".inpaint() instead of __call__")
+        from rangeldm_tpu.sample_ldm import build_sampler
+        key = ("u", batch_size, num_inference_steps, method)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self._fns[key] = build_sampler(
+                self._p, batch_size, num_inference_steps, method,
+                dtype=self.dtype)
+        if rng is None:
+            rng = jax.random.PRNGKey(seed)
+        return np.asarray(fn(rng), np.float32)
+
+    # -- conditional generation ----------------------------------------
+    def _cond_sample(self, cond_inputs: dict, mode: str, num_steps: int,
+                     rng: jax.Array, factor: int) -> np.ndarray:
+        from rangeldm_tpu.sample_conditional import build_conditional_sampler
+        bs = next(iter(cond_inputs.values())).shape[0]
+        key = (mode, bs, num_steps, factor)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self._fns[key] = build_conditional_sampler(
+                self._p, bs, mode, num_steps, factor, dtype=self.dtype)
+        return np.asarray(fn(rng, cond_inputs), np.float32)
+
+    def upsample(self, sparse_images, num_inference_steps: int = 50,
+                 seed: int = 0, rng: Optional[jax.Array] = None,
+                 factor: Optional[int] = None) -> np.ndarray:
+        """Beam densification (LDMUpscalePipelineRange with the
+        SparseRangeImageEncoder2 condition): sparse (B, H/f, W, C) ->
+        dense (B, H, W, C). `factor` defaults to cond_channels / C."""
+        sparse_images = jnp.asarray(sparse_images)
+        if factor is None:
+            factor = max(self.cond_channels // sparse_images.shape[-1], 1)
+        if rng is None:
+            rng = jax.random.PRNGKey(seed)
+        return self._cond_sample({"down": sparse_images}, "upsample",
+                                 num_inference_steps, rng, factor)
+
+    def inpaint(self, masked_images, masks, num_inference_steps: int = 50,
+                seed: int = 0, rng: Optional[jax.Array] = None) -> np.ndarray:
+        """Azimuth-sector inpainting (masked-image latent + resized mask
+        condition, ldm/pipelines.py:406-412)."""
+        if rng is None:
+            rng = jax.random.PRNGKey(seed)
+        return self._cond_sample(
+            {"masked_image": jnp.asarray(masked_images),
+             "inpainting_mask": jnp.asarray(masks)},
+            "inpainting", num_inference_steps, rng, factor=4)
+
+    # -- post-processing ------------------------------------------------
+    def to_point_clouds(self, images, max_depth: float = 90.0):
+        """Back-project generated images -> list of (N, 3/4) clouds with
+        the depth filter of ldm/inference.py:173-177."""
+        from rangeldm_tpu.geometry.inverse import to_point_cloud_masked
+        pcs, valid = to_point_cloud_masked(
+            jnp.asarray(images, jnp.float32), self.spec, max_depth=max_depth)
+        pcs, valid = np.asarray(pcs), np.asarray(valid)
+        return [pcs[i][valid[i]] for i in range(len(pcs))]
+
+    def save_outputs(self, images, out_dir: str, start_idx: int = 0):
+        """Write the {i}.bin / {i}_bev.png / {i}_range.png layout the
+        evaluation CLI consumes."""
+        from rangeldm_tpu.sample_ldm import save_outputs
+        save_outputs(np.asarray(images, np.float32), self.spec, out_dir,
+                     start_idx)

@@ -1,0 +1,83 @@
+"""RangePipeline user API: from_pretrained over a saved pipeline dir,
+unconditional + conditional generation, point-cloud post-processing
+(the DiffusionPipeline-convenience surface of ldm/pipelines.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rangeldm_tpu.models import zoo
+from rangeldm_tpu.models.unet import UNetConfig
+from rangeldm_tpu.models.vae import VaeConfig
+from rangeldm_tpu.utils.config import Cfg
+
+
+def _make_pipeline_dir(tmp_path, name, spec, cond=None):
+    from rangeldm_tpu.train_ldm import LdmTrainer
+    zoo.ZOO[name] = lambda: spec
+    cfg = {"model": name, "output_dir": str(tmp_path / name),
+           "use_ema": False, "with_vae": True, "checkpointing_steps": 100}
+    if cond == "upsample":
+        cfg["upsample"] = 2
+    tr = LdmTrainer(Cfg.wrap(cfg))
+    return tr.save_final()
+
+
+@pytest.mark.heavy
+def test_range_pipeline_unconditional_and_clouds(tmp_path):
+    from rangeldm_tpu.pipelines import RangePipeline
+    spec = zoo.ModelSpec(
+        name="api_tiny",
+        unet=UNetConfig(sample_size=(4, 32), in_channels=5, out_channels=4,
+                        block_out_channels=(32, 32),
+                        down_block_types=("DownBlock2D",) * 2,
+                        up_block_types=("UpBlock2D",) * 2),
+        vae=VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4),
+        image_size=(8, 64))
+    path = _make_pipeline_dir(tmp_path, "api_tiny", spec)
+
+    import dataclasses
+    from rangeldm_tpu.geometry import get_spec
+    base = get_spec("kitti360")
+    tiny_spec = dataclasses.replace(
+        base, n_beams=8, width=64, height=base.height[:8],
+        zenith=base.zenith[:8], grid_sizes=(1, 32, 32))
+    pipe = RangePipeline.from_pretrained(path, dtype=jnp.float32)
+    pipe._spec = tiny_spec
+    assert pipe.is_latent and pipe.cond_channels == 0
+    imgs = pipe(batch_size=2, num_inference_steps=3, seed=0)
+    assert imgs.shape == (2, 8, 64, 2) and np.isfinite(imgs).all()
+    # deterministic per seed, cached jit reused
+    imgs2 = pipe(batch_size=2, num_inference_steps=3, seed=0)
+    np.testing.assert_array_equal(imgs, imgs2)
+
+    clouds = pipe.to_point_clouds(imgs)
+    assert len(clouds) == 2 and clouds[0].shape[1] == 4
+
+    out = tmp_path / "api_out"
+    pipe.save_outputs(imgs, str(out))
+    assert (out / "0.bin").exists() and (out / "1_range.png").exists()
+
+
+@pytest.mark.heavy
+def test_range_pipeline_upsample(tmp_path):
+    from rangeldm_tpu.pipelines import RangePipeline
+    spec = zoo.ModelSpec(
+        name="api_up",
+        unet=UNetConfig(sample_size=(4, 32), in_channels=8, out_channels=4,
+                        block_out_channels=(32, 32),
+                        down_block_types=("DownBlock2D",) * 2,
+                        up_block_types=("UpBlock2D",) * 2),
+        vae=VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4),
+        image_size=(8, 64), pos_encoding=False, cond_channels=4)
+    path = _make_pipeline_dir(tmp_path, "api_up", spec, cond="upsample")
+
+    pipe = RangePipeline.from_pretrained(path, dtype=jnp.float32)
+    assert pipe.cond_channels == 4
+    with pytest.raises(ValueError, match="conditional"):
+        pipe(batch_size=2)
+    sparse = np.random.default_rng(0).standard_normal(
+        (2, 4, 64, 2)).astype(np.float32)
+    dense = pipe.upsample(sparse, num_inference_steps=3)
+    assert dense.shape == (2, 8, 64, 2) and np.isfinite(dense).all()
