@@ -101,6 +101,14 @@ def main(argv=None):
             results["jsd"] = compute_jsd(ref_h, gen_h)
 
     if args.frd:
+        if args.nus:
+            # the reference's FRD is KITTI-only (metric.py:37 "--fid ...
+            # (KITTI only)"): the RangeNet++ checkpoint is trained on
+            # semantic-KITTI 64-beam geometry and the 5-float nuScenes
+            # reference stride does not fit the 4-float FRD reader
+            raise SystemExit(
+                "--frd is KITTI-only (as in the reference metric CLI); "
+                "use --mmd/--jsd for nuScenes")
         from rangeldm_tpu.metrics.frd_pipeline import compute_frd_for_dirs
         results["frd"] = compute_frd_for_dirs(
             args.exp, ref_fn(args.limit), args.rangenet, limit=args.limit)

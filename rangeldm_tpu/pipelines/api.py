@@ -41,16 +41,11 @@ class RangePipeline:
     def from_pretrained(cls, path: str, sensor: str = "kitti360",
                         dtype=jnp.bfloat16, use_ema: bool = True
                         ) -> "RangePipeline":
-        from rangeldm_tpu.sample_ldm import (
-            is_diffusers_pipeline, load_diffusers_pipeline, load_pipeline,
-        )
+        from rangeldm_tpu.sample_ldm import load_any_pipeline
         from rangeldm_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
-        if is_diffusers_pipeline(path):
-            pipe = load_diffusers_pipeline(path, dtype=dtype, use_ema=use_ema)
-        else:
-            pipe = load_pipeline(path, dtype=dtype, use_ema=use_ema)
-        return cls(pipe, sensor=sensor, dtype=dtype)
+        return cls(load_any_pipeline(path, dtype=dtype, use_ema=use_ema),
+                   sensor=sensor, dtype=dtype)
 
     # -- introspection --------------------------------------------------
     @property

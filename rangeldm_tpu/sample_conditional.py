@@ -36,6 +36,11 @@ def build_conditional_sampler(pipe, batch_size: int, mode: str,
     sf = pipe["vae_cfg"].scaling_factor
     cfg = pipe["unet_cfg"]
     h, w = cfg.sample_size
+    # honor the pipeline's pos-encoding flag (meta from model_index.json /
+    # the diffusers-layout heuristic): a conditional model trained with
+    # the pos channel needs it at sampling too (shipped conditional
+    # configs are pos-free, models/zoo.py)
+    pos = bool(pipe["meta"].get("pos_encoding", False))
 
     def unet_fn(x, t):
         return unet.apply(up, x, t)
@@ -56,7 +61,7 @@ def build_conditional_sampler(pipe, batch_size: int, mode: str,
             unet_fn, lambda z: vae.apply(vp, z, method="decode"),
             pipe["schedule"], rng,
             (batch_size, h, w, cfg.out_channels), sf, cond,
-            num_steps=num_steps, dtype=dtype)
+            num_steps=num_steps, pos_encoding=pos, dtype=dtype)
 
     return sample
 
@@ -103,6 +108,7 @@ def main():
         result = np.asarray(sample(rng, cond_inputs), np.float32)
         for j in range(result.shape[0]):
             if idx >= args.samples:
+                print(f"wrote {idx} conditional samples to {args.out}")
                 return
             np.save(os.path.join(args.out, f"{prefix}_result", f"{idx}.npy"),
                     result[j])

@@ -39,11 +39,15 @@ def is_diffusers_pipeline(path: str) -> bool:
                          "diffusion_pytorch_model.bin"))
 
 
-def load_any_pipeline(path: str, dtype=jnp.bfloat16):
-    """Route to the HF-released or native-orbax loader by directory layout."""
+def load_any_pipeline(path: str, dtype=jnp.bfloat16, use_ema: bool = True,
+                      **diffusers_kw):
+    """Route to the HF-released or native-orbax loader by directory layout.
+    Extra keywords (pos_encoding, image_size) apply to the diffusers
+    layout only — the orbax layout records them in model_index.json."""
     if is_diffusers_pipeline(path):
-        return load_diffusers_pipeline(path, dtype=dtype)
-    return load_pipeline(path, dtype=dtype)
+        return load_diffusers_pipeline(path, dtype=dtype, use_ema=use_ema,
+                                       **diffusers_kw)
+    return load_pipeline(path, dtype=dtype, use_ema=use_ema)
 
 
 def load_pipeline(path: str, dtype=jnp.bfloat16, use_ema: bool = True):
@@ -96,7 +100,8 @@ def load_pipeline(path: str, dtype=jnp.bfloat16, use_ema: bool = True):
 
 def load_diffusers_pipeline(path: str, dtype=jnp.bfloat16,
                             use_ema: bool = True,
-                            image_size=(64, 1024), pos_encoding: bool = True):
+                            image_size=(64, 1024),
+                            pos_encoding: Optional[bool] = None):
     """Load a *released* RangeLDM pipeline directory (HF diffusers layout:
     {unet, unet_ema, vae, scheduler}/ with config.json + safetensors,
     ldm/train_unconditional.py:654-682) into our models — the drop-in path
@@ -138,7 +143,15 @@ def load_diffusers_pipeline(path: str, dtype=jnp.bfloat16,
         if k in ScheduleConfig.__dataclass_fields__}))
 
     unet_params = jax.tree.map(jnp.asarray, unet_params)
-    meta = {"pos_encoding": pos_encoding, "image_size": list(image_size),
+    if pos_encoding is None:
+        # the HF layout records nothing about the extra input channels;
+        # across all five released configs (models/zoo.py) unconditional
+        # UNets have exactly one extra input channel (the pos-encoding)
+        # and conditional ones have 8/5 condition channels and NO
+        # pos-encoding, so in-out==1 identifies the pos-encoding channel
+        pos_encoding = (unet_cfg.in_channels - unet_cfg.out_channels) == 1
+    meta = {"pos_encoding": bool(pos_encoding),
+            "image_size": list(image_size),
             "source": "diffusers", "schedule": sched_cfg}
     return dict(meta=meta, unet=unet, unet_cfg=unet_cfg,
                 unet_params=unet_params, vae=vae, vae_cfg=vae_cfg,

@@ -130,8 +130,6 @@ def make_ldm_train_step(unet_apply: Callable,
         return new_state, metrics
 
     if cfg.grad_accum_steps > 1:
-        inner = train_step
-
         def train_step(state, batch, rng):  # noqa: F811
             """Microbatch accumulation via lax.scan (the reference's
             accelerate.accumulate, ldm/train_unconditional.py:503)."""

@@ -70,6 +70,10 @@ def test_load_and_sample_released_pipeline(tmp_path, rng):
     assert pipe["unet_cfg"].sample_size == (4, 32)
     assert pipe["vae_cfg"].ch_mult == (1, 2)
     assert pipe["schedule"].cfg.num_train_timesteps == 1000
+    # the HF layout records no pos-encoding flag: in-out == 1 identifies
+    # the unconditional pos channel (in 5, out 4 here); a conditional
+    # in/out gap must infer False (round-3 review fix)
+    assert pipe["meta"]["pos_encoding"] is True
 
     sampler = build_sampler(pipe, batch_size=2, num_steps=3,
                             dtype=jnp.float32)

@@ -222,6 +222,41 @@ def test_conditional_sampler_cli_path(rng, tmp_path):
     assert np.isfinite(out).all()
 
 
+def test_conditional_sampler_honors_pos_encoding(rng, tmp_path):
+    """A conditional model TRAINED with the pos-encoding channel (inline
+    configs default pos_encoding True) must sample offline too: the
+    sampler reads meta['pos_encoding'] and concatenates the channel
+    (round-3 review fix — it used to drop it and crash on conv_in)."""
+    import dataclasses
+    from rangeldm_tpu.train_ldm import LdmTrainer
+    from rangeldm_tpu.sample_ldm import load_pipeline
+    from rangeldm_tpu.sample_conditional import build_conditional_sampler
+
+    spec = dataclasses.replace(
+        TINY_UPSAMPLE,
+        unet=dataclasses.replace(TINY_UPSAMPLE.unet, in_channels=9),
+        pos_encoding=True, name="tiny_up_pos")
+    zoo.ZOO["tiny_up_pos"] = lambda: spec
+    cfg = Cfg.wrap({
+        "model": "tiny_up_pos", "output_dir": str(tmp_path / "cpp"),
+        "upsample": 2, "use_ema": False, "with_vae": True,
+        "pos_encoding": True, "checkpointing_steps": 100,
+    })
+    tr = LdmTrainer(cfg)
+    tr.fit(batches(rng, 1, extra="down"), max_steps=1, log_every=1)
+    path = tr.save_final()
+
+    pipe = load_pipeline(path, dtype=jnp.float32)
+    assert pipe["meta"]["pos_encoding"] is True
+    sampler = build_conditional_sampler(pipe, batch_size=2, mode="upsample",
+                                        num_steps=2, factor=2,
+                                        dtype=jnp.float32)
+    b = next(batches(rng, 1, bs=2, extra="down"))
+    out = np.asarray(sampler(jax.random.PRNGKey(0),
+                             {"down": jnp.asarray(b["down"])}), np.float32)
+    assert out.shape == (2, 8, 64, 2) and np.isfinite(out).all()
+
+
 @pytest.mark.heavy
 def test_full_stack_integration(rng, tmp_path):
     """Projection -> VAE latents -> LDM training -> sampling -> inverse
