@@ -106,14 +106,31 @@ class RangeImageDataset:
             return pts
         return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
 
+    @property
+    def _spec_tag(self) -> str:
+        """Projection-identity fingerprint baked into the cache filename:
+        the reference keys its .pth caches by directory only, so toggling
+        sensor variant (kitti360 vs vanilla), width, encoding, or mean/std
+        over the same root would silently reuse images projected under the
+        OLD settings. Default kitti360 settings keep the bare name (cache
+        compatibility); anything else gets a suffix."""
+        c = self.cfg
+        if (c.sensor == "kitti360" and c.width == 1024 and not c.log
+                and not c.inverse and c.mean is None and c.std is None):
+            return ""
+        import hashlib
+        blob = f"{c.sensor}:{c.width}:{c.log}:{c.inverse}:{c.mean}:{c.std}"
+        return "." + hashlib.sha256(blob.encode()).hexdigest()[:10]
+
     def _cache_path(self, path: str) -> str:
+        ext = self._spec_tag + ".npz"
         if self.cfg.sensor == "nuscenes":
-            return path.replace("sweeps", "sweeps_range").replace(".bin", ".npz")
+            return path.replace("sweeps", "sweeps_range").replace(".bin", ext)
         if self.cfg.sensor == "stf":
             return path.replace("lidar_hdl64", "lidar_range_hdl64").replace(
-                ".bin", ".npz")
+                ".bin", ext)
         return path.replace("data_3d_raw", "data_3d_range").replace(
-            ".bin", ".npz")
+            ".bin", ext)
 
     # -- sample assembly --------------------------------------------------
     def __len__(self) -> int:
@@ -215,7 +232,11 @@ class RangeLoader:
         return order
 
     def __len__(self):
-        n = len(self._order()) if self.shard_by_process else len(self.dataset)
+        if self.shard_by_process:
+            import jax
+            n = len(self.dataset) // jax.process_count()
+        else:
+            n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):

@@ -80,7 +80,7 @@ def main(argv=None):
                     help="darknet53-1024 checkpoint dir for --frd")
     ap.add_argument("--encoding", default="linear",
                     choices=["log", "linear", "none"],
-                    help="range encoding of the --mae dumps")
+                    help="range encoding of the --mae/--iou dumps")
     ap.add_argument("--limit", type=int, default=1000)
     args = ap.parse_args(argv)
 
@@ -124,7 +124,8 @@ def main(argv=None):
                 else "densification"
         scores = compute_segmentation_scores(
             args.exp, prefix, args.rangenet, sensor=args.sensor,
-            limit=args.limit)
+            limit=args.limit,
+            encoding=args.encoding if args.encoding != "none" else "linear")
         if args.iou:
             results["iou"] = scores["iou"]
         if args.accuracy:

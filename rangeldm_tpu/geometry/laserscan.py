@@ -58,6 +58,11 @@ def laserscan_project(points: np.ndarray, remissions: np.ndarray = None,
     proj_xyz[py[order], px[order]] = points[order]
     proj_rem[py[order], px[order]] = remissions[order]
     proj_idx[py[order], px[order]] = np.arange(len(depth))[order]
+    # `> 0` (not >= 0) reproduces the reference's own off-by-one: the pixel
+    # won by point index 0 counts as empty (ldm/lidar_utils.py:215 and
+    # metrics/.../histogram.py:270 both use `proj_idx > 0`; kept
+    # bug-for-bug for FRD parity — RangeNet inputs must be masked exactly
+    # as the reference masks them)
     return proj_range, proj_xyz, proj_rem, (proj_idx > 0).astype(np.float32)
 
 
@@ -65,8 +70,9 @@ def save_generated(image: np.ndarray, filename: str,
                    min_depth: float = 0.5, max_depth: float = 63.0) -> None:
     """Decode a log-range (H, W, 2) image to a .bin point cloud
     (ldm/lidar_utils.py:218-250; LiDARGen-format uniform-fov geometry)."""
+    from rangeldm_tpu.geometry.projection import decode_log_range
     h, w = image.shape[:2]
-    depth = (np.exp2(image[:, :, 0] * 6.0) - 1.0).ravel()
+    depth = decode_log_range(image[:, :, 0]).ravel()
     intensity = image[:, :, 1].ravel()
 
     fov_up = 3.0 / 180.0 * np.pi

@@ -81,11 +81,18 @@ def encode_range(r, spec: SensorSpec, xp=np):
     return r
 
 
+def decode_log_range(v):
+    """The LiDARGen log-range decode 2^(6v) - 1 (ldm/dataset.py:241,
+    lidar_utils.py:232, metrics mae.py:60-62) — ONE definition shared by
+    decode_range, the MAE metrics, and the .bin export path."""
+    return 2.0 ** (v * 6.0) - 1.0
+
+
 def decode_range(v, spec: SensorSpec, xp=jnp):
     """Inverse of `encode_range` plus the normalization undo
     (ldm/dataset.py:241-245)."""
     if spec.log:
-        return 2.0 ** (v * 6.0) - 1.0
+        return decode_log_range(v)
     if spec.inverse:
         return 1.0 / xp.maximum(v, 1e-4)
     return v * spec.std + spec.mean

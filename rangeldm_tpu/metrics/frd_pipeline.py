@@ -51,14 +51,20 @@ def load_rangenet(model_dir: str):
 
 def _run_batched(fwd, out_dtype, empty_shape, scans, batch_size, h, w):
     """Project each scan (laserscan geometry + normalization) and run the
-    jitted per-batch `fwd` over batches, concatenating host results."""
+    jitted per-batch `fwd` over batches, concatenating host results. The
+    ragged final batch is padded to `batch_size` (and the pad rows
+    dropped) so the darknet forward compiles exactly once — a second
+    shape would cost a multi-minute TPU compile for one batch."""
     inputs, outs = [], []
 
     def flush():
         if not inputs:
             return
-        batch = jnp.asarray(np.stack(inputs))
-        outs.append(np.asarray(fwd(batch), out_dtype))
+        real = len(inputs)
+        pad = batch_size - real
+        batch = inputs + [inputs[-1]] * pad
+        out = np.asarray(fwd(jnp.asarray(np.stack(batch))), out_dtype)
+        outs.append(out[:real])
         inputs.clear()
 
     for pc in scans:
@@ -137,10 +143,16 @@ def _dump_scans(sample_dir: str, prefix: str, sub: str, spec,
 def compute_segmentation_scores(sample_dir: str, prefix: str,
                                 rangenet_dir: Optional[str],
                                 sensor: str = "kitti360",
-                                limit: int = 1000) -> dict:
+                                limit: int = 1000,
+                                encoding: str = "linear") -> dict:
     """IoU / accuracy over RangeNet segmentations of conditional result vs
     target dumps (metric.py:71-97: segment both dump dirs, then weighted
-    jaccard + pixel accuracy over the paired label maps)."""
+    jaccard + pixel accuracy over the paired label maps).
+
+    `encoding` must match the range encoding the dumps were written with
+    (the sampler dumps the training normalization verbatim) — decoding
+    log/inverse dumps with the linear default would back-project
+    geometrically wrong clouds and score garbage silently."""
     if rangenet_dir is None:
         raise ValueError("--rangenet checkpoint dir required for IoU")
     from rangeldm_tpu.geometry import get_spec
@@ -148,7 +160,8 @@ def compute_segmentation_scores(sample_dir: str, prefix: str,
         segmentation_accuracy, segmentation_iou,
     )
     model, variables = load_rangenet(rangenet_dir)
-    spec = get_spec(sensor)
+    spec = get_spec(sensor, log=encoding == "log",
+                    inverse=encoding == "inverse")
     res = extract_labels(model, variables,
                          _dump_scans(sample_dir, prefix, "result", spec,
                                      limit))

@@ -12,7 +12,8 @@ import numpy as np
 
 
 def _decode_log(v: np.ndarray) -> np.ndarray:
-    return np.exp2(v * 6.0) - 1.0
+    from rangeldm_tpu.geometry.projection import decode_log_range
+    return decode_log_range(v)
 
 
 def _resize_beams(img: np.ndarray, factor: int, mode: str) -> np.ndarray:

@@ -54,14 +54,33 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def _load_locked() -> Optional[ctypes.CDLL]:
     """Build+load under _load_lock — concurrent loader threads must not run
-    two `make` builds over the same .so and CDLL a half-written file."""
+    two `make` builds over the same .so and CDLL a half-written file.
+    Cross-PROCESS races (several CLIs / multihost workers starting on one
+    fresh checkout) are serialized with an fcntl file lock: g++ writes the
+    .so in place, so a second process could otherwise CDLL a truncated
+    file mid-write."""
     global _lib, _tried
     _tried = True
     src = os.path.join(_DIR, "projection.cpp")
-    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
-             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
-    if (not os.path.exists(_LIB_PATH) or stale) and not _build():
-        return None
+
+    def needs_build():
+        return not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+
+    if needs_build():
+        try:
+            import fcntl
+            with open(os.path.join(_DIR, ".build.lock"), "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                try:
+                    if needs_build() and not _build():  # loser re-checks
+                        return None
+                finally:
+                    fcntl.flock(lockf, fcntl.LOCK_UN)
+        except ImportError:                       # non-POSIX fallback
+            if needs_build() and not _build():
+                return None
     lib = ctypes.CDLL(_LIB_PATH)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -91,6 +110,13 @@ def range_image_native(pc: np.ndarray, spec) -> Tuple[np.ndarray, np.ndarray,
         raise RuntimeError("native projection library unavailable")
     pc = np.ascontiguousarray(pc, np.float32)
     n, stride = pc.shape
+    if spec.row_mode == "ring" and stride < 5:
+        # C++ reads pc[i*stride + 4] as the ring id; a 4-column cloud
+        # would read past the buffer (the numpy path raises IndexError
+        # for the same misuse)
+        raise ValueError(
+            f"ring-mode spec {spec.name!r} needs 5-column clouds "
+            f"(x,y,z,intensity,ring); got stride {stride}")
     h, w = spec.n_beams, spec.width
     image = np.empty((h, w, 2), np.float32)
     mask = np.empty((h, w), np.uint8)

@@ -42,6 +42,28 @@ def test_caching_round_trip(kitti_tree):
     np.testing.assert_array_equal(a, b)
 
 
+def test_cache_keyed_by_projection_spec(kitti_tree):
+    """Different projection settings over the same root must use different
+    cache files (round-3 review: the reference keys its .pth caches by
+    directory only, so a sensor/encoding/normalization change silently
+    reused images projected under the OLD settings)."""
+    base = RangeImageDataset(DatasetConfig(root=kitti_tree), train=True)
+    logd = RangeImageDataset(DatasetConfig(root=kitti_tree, log=True),
+                             train=True)
+    norm = RangeImageDataset(DatasetConfig(root=kitti_tree, mean=50.0,
+                                           std=50.0), train=True)
+    import os
+    paths = {d._cache_path(d.files[0]) for d in (base, logd, norm)}
+    assert len(paths) == 3
+    # default settings keep the bare reference-style name (stem = scan id)
+    stem = os.path.basename(base._cache_path(base.files[0]))[:-len(".npz")]
+    assert stem.isdigit()
+    # content actually differs when loaded through the differing configs
+    a = base[0]["jpg"]
+    b = logd[0]["jpg"]
+    assert not np.allclose(a, b)
+
+
 def test_downsample_condition(kitti_tree):
     cfg = DatasetConfig(root=kitti_tree, downsample=4)
     ds = RangeImageDataset(cfg, train=True)
