@@ -276,7 +276,4 @@ class PixelUnshuffleAzimuth(nn.Module):
     factor: int = 4
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
-        f = self.factor
-        x = x.reshape(b, h, w // f, f, c)
-        return x.reshape(b, h, w // f, f * c)
+        return pixel_unshuffle_azimuth(x, self.factor)

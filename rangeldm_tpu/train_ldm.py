@@ -81,10 +81,18 @@ def spec_from_cfg(cfg: Cfg):
         h, w = unet.sample_size
         factor = vae.down_factor if vae is not None else 1
         default_size = (h * factor, w * factor)
+        pos = bool(cfg.get("pos_encoding", True))
+        # conditional runs (upsample/inpainting) reserve the input channels
+        # beyond out(+pos) for the condition — without this the in-training
+        # sample dump would take the unconditional path and feed conv_in
+        # too few channels (round-3 review)
+        cond = 0
+        if cfg.get("upsample") or cfg.get("inpainting"):
+            cond = unet.in_channels - unet.out_channels - (1 if pos else 0)
         return ModelSpec(
             name=cfg.get("model", "custom"), unet=unet, vae=vae,
             image_size=tuple(cfg.get("image_size", default_size)),
-            pos_encoding=bool(cfg.get("pos_encoding", True)))
+            pos_encoding=pos, cond_channels=cond)
     return get_model_spec(cfg.model)
 
 
@@ -145,7 +153,21 @@ class LdmTrainer:
 
         cond_fn = None
         if cfg.get("upsample"):
-            cond_fn = conditions.make_upsample_cond_fn(int(cfg.upsample))
+            # the azimuth pixel-unshuffle factor is the VAE's spatial down
+            # factor (the reference's SparseRangeImageEncoder2 hardcodes 4
+            # = its VAE's, ldm/encoders.py:90-95), NOT the beam-
+            # densification factor; they must agree or the condition's
+            # beam extent cannot match the latent's
+            factor = self.spec.vae.down_factor if self.spec.vae else \
+                int(cfg.upsample)
+            if int(cfg.upsample) != factor:
+                raise ValueError(
+                    f"upsample factor {cfg.upsample} != VAE down factor "
+                    f"{factor}: the unshuffled condition "
+                    f"(beams/{cfg.upsample}, azimuth/{factor}) cannot "
+                    "match the latent grid (the reference supports "
+                    "densification == 4 == its VAE factor only)")
+            cond_fn = conditions.make_upsample_cond_fn(factor)
         elif cfg.get("inpainting"):
             cond_fn = conditions.make_inpainting_cond_fn(
                 self.vae, self.vae_params, self.train_cfg.scaling_factor,
@@ -311,7 +333,8 @@ class LdmTrainer:
             return self._dump_conditional(step, cond_batch)
         if sample_fn is None:
             sample_fn = self._sample_fn = getattr(
-                self, "_sample_fn", None) or self.make_sample_fn()
+                self, "_sample_fn", None) or self.make_sample_fn(
+                num_steps=int(self.cfg.get("ddpm_num_inference_steps", 50)))
         params = self.state.ema_params if self.state.ema_params is not None \
             else self.state.params
         imgs = np.asarray(sample_fn(params, jax.random.PRNGKey(step)),
@@ -345,13 +368,18 @@ class LdmTrainer:
 
         try:
             with emergency_checkpoint(save_now):
+                step = step0
                 for batch in batches:
                     batch = {k: v for k, v in batch.items()
                              if k in ("jpg", "moments", "down",
                                       "masked_image", "inpainting_mask")}
                     batch = shard_batch(self.mesh, batch)
                     self.state, metrics = self.train_step(self.state, batch, rng)
-                    step = int(self.state.step)
+                    # host-side step counter: int(self.state.step) every
+                    # iteration would block on the just-dispatched step and
+                    # serialize dispatch with device compute over the
+                    # tunnel; sync only at log/ckpt/sample boundaries
+                    step += 1
                     if step % log_every == 0 or (max_steps and step >= max_steps):
                         last = {k: float(v) for k, v in metrics.items()}
                         last.update(

@@ -200,12 +200,14 @@ class VaeTrainer:
         image_logger = None
         if self.cfg.get("log_images_every"):
             from rangeldm_tpu.training.image_logger import ImageLogger
-            spec = self.cfg.get("data", {})
+            # denormalize with the SAME sensor spec the dataset normalizes
+            # with (covers nuScenes 50/50 and log/inverse encodings — the
+            # raw data-cfg defaults would mis-scale non-KITTI grids)
             image_logger = ImageLogger(
                 os.path.join(self.out_dir, "images"),
                 every=int(self.cfg.log_images_every),
-                mean=float(spec.get("mean", 20.0)),
-                std=float(spec.get("std", 40.0)))
+                mean=float(self.sensor_spec.mean),
+                std=float(self.sensor_spec.std))
         from rangeldm_tpu.training.loggers import (
             ScalarLogger, emergency_checkpoint,
         )
@@ -219,18 +221,25 @@ class VaeTrainer:
         def save_now():
             self.ckpt.save(int(self.state.step), jax.device_get(self.state))
 
+        @jax.jit
+        def _recon(params, x, key):
+            xrec, _, _ = self.vae.apply({"params": params}, x, rng=key)
+            return xrec
+
         try:
             with emergency_checkpoint(save_now):
+                step = int(self.state.step)
                 for batch in batches:
                     x = batch["jpg"] if isinstance(batch, dict) else batch
                     x = shard_batch(self.mesh, x)
                     self.state, gm = self.gen_step(self.state, x, rng)
                     self.state, dm = self.disc_step(self.state, x, rng)
-                    step = int(self.state.step)
+                    # host-side counter (see train_ldm.fit): avoid a
+                    # device sync on every just-dispatched step
+                    step += 1
                     if image_logger is not None and image_logger.should_log(step):
-                        xrec, _, _ = self.vae.apply(
-                            {"params": self.state.gen_params["vae"]}, x,
-                            rng=jax.random.PRNGKey(step))
+                        xrec = _recon(self.state.gen_params["vae"], x,
+                                      jax.random.PRNGKey(step))
                         image_logger.log(step, inputs=jax.device_get(x),
                                          reconstructions=jax.device_get(xrec))
                     if step % log_every == 0 or (max_steps and step >= max_steps):

@@ -332,7 +332,12 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
 
     # ---------------- discriminator ----------------
     def disc_step(state: VaeGanState, batch: jnp.ndarray, rng: jax.Array):
-        rng = jax.random.fold_in(rng, state.step)
+        # distinct stream from gen_step: gen folds (rng, step) and runs
+        # BEFORE incrementing, so a plain fold here at step s+1 would
+        # reuse gen's key for step s+1 — bit-identical posterior noise in
+        # disc_step(i) and gen_step(i+1). The extra constant fold
+        # decorrelates the two streams.
+        rng = jax.random.fold_in(jax.random.fold_in(rng, state.step), 1)
         xrec, _, _ = forward(state.gen_params["vae"], batch, rng)
         xrec = jax.lax.stop_gradient(xrec)
 

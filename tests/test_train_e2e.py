@@ -452,3 +452,40 @@ def test_latent_cache_with_grad_accum(rng):
                               jax.random.PRNGKey(1))
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_spec_from_cfg_inline_conditional_channels():
+    """Inline model_config + upsample/inpainting must derive cond_channels
+    (round-3 review: it stayed 0, so the in-training sample dump took the
+    unconditional path and crashed on conv_in)."""
+    from rangeldm_tpu.train_ldm import spec_from_cfg
+    spec = spec_from_cfg(Cfg.wrap({
+        "model_config": {
+            "sample_size": [256, 16], "in_channels": 12, "out_channels": 4,
+            "block_out_channels": [32, 32],
+            "down_block_types": ["DownBlock2D", "DownBlock2D"],
+            "up_block_types": ["UpBlock2D", "UpBlock2D"]},
+        "vae_config": {"ch": 32, "ch_mult": [1, 2], "z_channels": 4},
+        "pos_encoding": False, "upsample": 2,
+    }))
+    assert spec.cond_channels == 8
+    spec2 = spec_from_cfg(Cfg.wrap({
+        "model_config": {
+            "sample_size": [256, 16], "in_channels": 5, "out_channels": 4,
+            "block_out_channels": [32, 32],
+            "down_block_types": ["DownBlock2D", "DownBlock2D"],
+            "up_block_types": ["UpBlock2D", "UpBlock2D"]},
+    }))
+    assert spec2.cond_channels == 0 and spec2.pos_encoding
+
+
+def test_upsample_factor_must_match_vae_down_factor(tmp_path):
+    """Densification factor != VAE spatial down factor cannot produce a
+    condition grid matching the latent; fail fast with a clear error."""
+    from rangeldm_tpu.train_ldm import LdmTrainer
+    cfg = Cfg.wrap({
+        "model": "tiny_upsample", "output_dir": str(tmp_path / "bad"),
+        "upsample": 4, "use_ema": False, "with_vae": True,
+    })
+    with pytest.raises(ValueError, match="down factor"):
+        LdmTrainer(cfg)
