@@ -72,12 +72,42 @@ class RangePipeline:
     # -- unconditional generation --------------------------------------
     def __call__(self, batch_size: int = 1, num_inference_steps: int = 50,
                  seed: int = 0, rng: Optional[jax.Array] = None,
-                 method: str = "ddim") -> np.ndarray:
+                 method: str = "ddim", final_only: bool = True):
         """Generate `batch_size` range images (B, H, W, C), normalized
-        (LDMPipelineRange/DDIMPipelineRange __call__)."""
+        (LDMPipelineRange/DDIMPipelineRange __call__). final_only=False
+        additionally returns the decoded per-step denoising trajectory
+        (num_steps, B, H, W, C) — ldm/pipelines.py:350-355 — latent
+        pipelines only."""
         if self.cond_channels > 0:
             raise ValueError("conditional pipeline: use .upsample() / "
                              ".inpaint() instead of __call__")
+        if rng is None:
+            rng = jax.random.PRNGKey(seed)
+        if not final_only:
+            if not self.is_latent:
+                raise ValueError("final_only=False needs a latent pipeline")
+            from rangeldm_tpu.pipelines.samplers import latent_sample
+            p, cfg = self._p, self._p["unet_cfg"]
+            h, w = cfg.sample_size
+            key = ("traj", batch_size, num_inference_steps, method)
+            fn = self._fns.get(key)
+            if fn is None:
+                def traj_fn(r):
+                    return latent_sample(
+                        lambda x, t: p["unet"].apply(p["unet_params"], x, t),
+                        lambda z: p["vae"].apply(p["vae_params"], z,
+                                                 method="decode"),
+                        p["schedule"], r,
+                        (batch_size, h, w, cfg.out_channels),
+                        p["vae_cfg"].scaling_factor,
+                        num_steps=num_inference_steps, method=method,
+                        pos_encoding=bool(p["meta"].get(
+                            "pos_encoding", True)),
+                        final_only=False, dtype=self.dtype)
+                fn = self._fns[key] = jax.jit(traj_fn)
+            image, traj = fn(rng)
+            return (np.asarray(image, np.float32),
+                    np.asarray(traj, np.float32))
         from rangeldm_tpu.sample_ldm import build_sampler
         key = ("u", batch_size, num_inference_steps, method)
         fn = self._fns.get(key)
@@ -85,8 +115,6 @@ class RangePipeline:
             fn = self._fns[key] = build_sampler(
                 self._p, batch_size, num_inference_steps, method,
                 dtype=self.dtype)
-        if rng is None:
-            rng = jax.random.PRNGKey(seed)
         return np.asarray(fn(rng), np.float32)
 
     # -- conditional generation ----------------------------------------

@@ -59,6 +59,13 @@ def test_range_pipeline_unconditional_and_clouds(tmp_path):
     pipe.save_outputs(imgs, str(out))
     assert (out / "0.bin").exists() and (out / "1_range.png").exists()
 
+    # denoising-trajectory variant (final_only=False, pipelines.py:350-355)
+    image, traj = pipe(batch_size=1, num_inference_steps=3, seed=0,
+                       final_only=False)
+    assert image.shape == (1, 8, 64, 2)
+    assert traj.shape == (3, 1, 8, 64, 2)
+    assert np.isfinite(traj).all()
+
 
 @pytest.mark.heavy
 def test_range_pipeline_upsample(tmp_path):
