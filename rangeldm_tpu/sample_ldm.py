@@ -159,7 +159,11 @@ def load_diffusers_pipeline(path: str, dtype=jnp.bfloat16,
 
 
 def build_sampler(pipe, batch_size: int, num_steps: int = 50,
-                  method: str = "ddim", dtype=jnp.bfloat16):
+                  method: str = "ddim", dtype=jnp.bfloat16,
+                  eta: float = 0.0):
+    """`eta` is the DDIM stochasticity knob the reference pipelines expose
+    (DDIMPipelineRange/LDMPipelineRange __call__ eta=0.0); ignored by the
+    ancestral ddpm method."""
     unet, params = pipe["unet"], pipe["unet_params"]
     cfg = pipe["unet_cfg"]
     h, w = cfg.sample_size
@@ -180,14 +184,19 @@ def build_sampler(pipe, batch_size: int, num_steps: int = 50,
             return latent_sample(unet_fn, vae_decode, pipe["schedule"], rng,
                                  (batch_size, h, w, cfg.out_channels), sf,
                                  num_steps=num_steps, method=method,
-                                 pos_encoding=pos, dtype=dtype)
+                                 eta=eta, pos_encoding=pos, dtype=dtype)
     else:
         @jax.jit
         def sample(rng):
-            fn = ddim_sample if method == "ddim" else ddpm_sample
-            return fn(unet_fn, pipe["schedule"], rng,
-                      (batch_size, h, w, cfg.out_channels),
-                      num_steps=num_steps, pos_encoding=pos, dtype=dtype)
+            if method == "ddim":
+                return ddim_sample(unet_fn, pipe["schedule"], rng,
+                                   (batch_size, h, w, cfg.out_channels),
+                                   num_steps=num_steps, eta=eta,
+                                   pos_encoding=pos, dtype=dtype)
+            return ddpm_sample(unet_fn, pipe["schedule"], rng,
+                               (batch_size, h, w, cfg.out_channels),
+                               num_steps=num_steps, pos_encoding=pos,
+                               dtype=dtype)
 
     return sample
 
@@ -225,13 +234,16 @@ def main():
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--method", default="ddim", choices=["ddim", "ddpm"])
+    ap.add_argument("--eta", type=float, default=0.0,
+                    help="DDIM stochasticity (reference pipelines' eta)")
     ap.add_argument("--sensor", default="kitti360")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     enable_compilation_cache()
     pipe = load_any_pipeline(args.pipeline)
-    sample = build_sampler(pipe, args.batch_size, args.steps, args.method)
+    sample = build_sampler(pipe, args.batch_size, args.steps, args.method,
+                           eta=args.eta)
     spec = get_spec(args.sensor)
 
     # per-process sharding of the sample range (ldm/inference.py:159, 174)
