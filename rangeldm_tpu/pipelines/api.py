@@ -39,13 +39,15 @@ class RangePipeline:
     # -- construction ---------------------------------------------------
     @classmethod
     def from_pretrained(cls, path: str, sensor: str = "kitti360",
-                        dtype=jnp.bfloat16, use_ema: bool = True
-                        ) -> "RangePipeline":
+                        dtype=jnp.bfloat16, use_ema: bool = True,
+                        spec=None) -> "RangePipeline":
+        """`spec` overrides the registry sensor lookup with an explicit
+        SensorSpec (custom beam tables / reduced-resolution models)."""
         from rangeldm_tpu.sample_ldm import load_any_pipeline
         from rangeldm_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
         return cls(load_any_pipeline(path, dtype=dtype, use_ema=use_ema),
-                   sensor=sensor, dtype=dtype)
+                   sensor=sensor, dtype=dtype, spec=spec)
 
     # -- introspection --------------------------------------------------
     @property

@@ -33,7 +33,7 @@ zoo.ZOO["tiny_cli"] = lambda: TINY_CLI
 
 @pytest.fixture
 def kitti_tree(tmp_path, rng):
-    """6 synthetic scans in the KITTI-360 raw layout (train drive 0003)."""
+    """8 train scans (drive 0003) + 4 held-out scans (drive 0000) in the KITTI-360 raw layout."""
     d = tmp_path / "kitti" / "data_3d_raw" / "2013_05_28_drive_0003_sync" \
         / "velodyne_points" / "data"
     d.mkdir(parents=True)

@@ -37,9 +37,18 @@ def test_caching_round_trip(kitti_tree):
     ds = RangeImageDataset(cfg, train=True)
     a = ds[1]["jpg"]
     import os
-    assert os.path.exists(ds._cache_path(ds.files[1]))
+    cache = ds._cache_path(ds.files[1])
+    assert os.path.exists(cache)
     b = ds[1]["jpg"]      # from cache
     np.testing.assert_array_equal(a, b)
+    # prove the second read actually CAME from the cache (re-projection is
+    # deterministic, so equality alone cannot): plant a sentinel
+    with np.load(cache) as z:
+        mask, cw = z["mask"], z["car_window_mask"]
+    sentinel = np.full_like(a, 7.25)
+    np.savez_compressed(cache, jpg=sentinel, mask=mask, car_window_mask=cw)
+    c = ds[1]["jpg"]
+    np.testing.assert_array_equal(c, sentinel[..., :c.shape[-1]])
 
 
 def test_cache_keyed_by_projection_spec(kitti_tree):
@@ -95,9 +104,11 @@ def test_loader_batching(kitti_tree):
     batches = list(loader)
     assert len(batches) == 3
     assert batches[0]["jpg"].shape == (2, 64, 1024, 2)
-    # reshuffles across epochs
+    # reshuffles across epochs: _order seeds with seed + epoch counter
+    first = list(loader._order())
     again = list(loader)
     assert len(again) == 3
+    assert list(loader._order()) != first
 
 
 def test_coord_channel(kitti_tree):
@@ -190,10 +201,18 @@ def test_multihost_shards_equal_length(monkeypatch):
             return {"jpg": np.zeros((2, 2, 2), np.float32)}
 
     monkeypatch.setattr(jax, "process_count", lambda: 4)
-    lens = []
+    lens, orders = [], []
     for pi in range(4):
         monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
         loader = RangeLoader(Tiny(), batch_size=4, shuffle=False,
                              shard_by_process=True)
         lens.append(len(loader))
+        orders.append(list(loader._order()))
     assert len(set(lens)) == 1
+    # the invariant len() promises: every host's actual shard is truncated
+    # to the common minimum (77 = 4*19 + 1 -> 19 each, the surplus index
+    # dropped), shards are disjoint, and len() matches the real batches
+    assert all(len(o) == 77 // 4 for o in orders)
+    flat = [i for o in orders for i in o]
+    assert len(flat) == len(set(flat))
+    assert lens[0] == (77 // 4) // 4

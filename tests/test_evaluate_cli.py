@@ -34,8 +34,8 @@ def test_evaluate_mmd_jsd(tmp_path, rng, monkeypatch):
 
 def _make_rangenet_ckpt(tmp_path):
     """Synthetic darknet53 checkpoint in the released on-disk format."""
-    import sys, torch
-    sys.path.insert(0, "tests")
+    import os, sys, torch
+    sys.path.insert(0, os.path.dirname(__file__))
     from test_rangenet_parity import build_torch_rangenet
     bb, dec, head = build_torch_rangenet()
     d = tmp_path / "rangenet"

@@ -105,11 +105,18 @@ def test_inverse_projection_angles():
 def test_nuscenes_ring_rows(rng):
     spec = get_spec("nuscenes")
     pc = synthetic_scan(rng, n=5000, n_beams=32, with_ring=True)
-    img = project_np(pc, spec)
+    # inject sub-min_depth points that would WIN every pixel if the 2 m
+    # filter (nuscenes_range_image.py:37-41) were broken — synthetic_scan
+    # alone never tests it (all its radii are >= 2.5 m)
+    n_near = 512
+    near = pc[:n_near].copy()
+    r = np.linalg.norm(near[:, :3], axis=1, keepdims=True)
+    near[:, :3] *= 0.5 / r                        # depth 0.5 m
+    img = project_np(np.concatenate([near, pc]), spec)
     assert img.shape == (32, 1024, 2)
-    # min-depth filter: no winners below 2 m
+    # min-depth filter: no winners below 2 m despite the nearest-wins rule
     hit = img[..., 0] > 0
-    assert img[..., 0][hit].min() > 1.0
+    assert img[..., 0][hit].min() > 2.0
 
 
 def test_log_and_inverse_encodings(scan):

@@ -43,8 +43,9 @@ def test_range_pipeline_unconditional_and_clouds(tmp_path):
     tiny_spec = dataclasses.replace(
         base, n_beams=8, width=64, height=base.height[:8],
         zenith=base.zenith[:8], grid_sizes=(1, 32, 32))
-    pipe = RangePipeline.from_pretrained(path, dtype=jnp.float32)
-    pipe._spec = tiny_spec
+    pipe = RangePipeline.from_pretrained(path, dtype=jnp.float32,
+                                         spec=tiny_spec)
+    assert pipe.spec is tiny_spec
     assert pipe.is_latent and pipe.cond_channels == 0
     imgs = pipe(batch_size=2, num_inference_steps=3, seed=0)
     assert imgs.shape == (2, 8, 64, 2) and np.isfinite(imgs).all()

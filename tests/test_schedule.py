@@ -219,11 +219,21 @@ def test_ddim_eta_zero_vs_positive(rng):
     np.testing.assert_array_equal(s1, s1b)
     assert np.abs(s1 - d0a).max() > 0
 
-    # eta=1: std^2 equals the DDPM posterior variance beta_t~ =
-    # (1-a_prev)/(1-a_t) * beta_seg where beta_seg = 1 - a_t/a_prev
+    # eta=1: the injected noise's std must equal sqrt(beta_t~), the DDPM
+    # posterior std — recover it from two eta=1 draws whose keys are known
+    # (step(eta=1) = deterministic part + std * normal(key))
     acp = np.asarray(sch.alphas_cumprod)
     var = (1 - acp[481]) / (1 - acp[501]) * (1 - acp[501] / acp[481])
-    assert var > 0
+    k = jax.random.PRNGKey(3)
+    s_eta1 = np.asarray(sch.ddim_step(eps, t, tp, x, eta=1.0, rng=k))
+    z = np.asarray(jax.random.normal(k, x.shape, x.dtype))
+    a_t, a_prev = acp[501], acp[481]
+    x0 = (np.asarray(x) - np.sqrt(1 - a_t) * np.asarray(eps)) / np.sqrt(a_t)
+    det = (np.sqrt(a_prev) * x0 +
+           np.sqrt(1 - a_prev - var) * np.asarray(eps))
+    implied_std = (s_eta1 - det) / z
+    np.testing.assert_allclose(implied_std, np.sqrt(var), rtol=1e-4,
+                               atol=1e-5)
 
 
 def test_denoise_eta_positive_end_to_end(rng):

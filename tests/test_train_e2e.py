@@ -101,10 +101,9 @@ def test_train_checkpoint_resume_pipeline(trainer_cfg, rng, tmp_path):
     assert np.isfinite(imgs).all()
 
     out = str(tmp_path / "samples")
-    spec = get_spec("kitti360").replace()  # 64-beam spec; outputs are 8-beam
-    # use a matching synthetic spec for back-projection
+    # 8-beam synthetic spec matching the tiny model's outputs
     import dataclasses
-    from rangeldm_tpu.geometry.sensors import SensorSpec
+    spec = get_spec("kitti360")
     tiny_spec = dataclasses.replace(
         spec, n_beams=8, width=64,
         height=spec.height[:8], zenith=spec.zenith[:8],
