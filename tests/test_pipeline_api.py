@@ -89,3 +89,34 @@ def test_range_pipeline_upsample(tmp_path):
         (2, 4, 64, 2)).astype(np.float32)
     dense = pipe.upsample(sparse, num_inference_steps=3)
     assert dense.shape == (2, 8, 64, 2) and np.isfinite(dense).all()
+
+
+@pytest.mark.heavy
+def test_range_pipeline_inpaint(tmp_path):
+    from rangeldm_tpu.pipelines import RangePipeline
+    spec = zoo.ModelSpec(
+        name="api_inp",
+        unet=UNetConfig(sample_size=(4, 32), in_channels=9, out_channels=4,
+                        block_out_channels=(32, 32),
+                        down_block_types=("DownBlock2D",) * 2,
+                        up_block_types=("UpBlock2D",) * 2),
+        vae=VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4),
+        image_size=(8, 64), pos_encoding=False, cond_channels=5)
+    from rangeldm_tpu.train_ldm import LdmTrainer
+    zoo.ZOO["api_inp"] = lambda: spec
+    try:
+        tr = LdmTrainer(Cfg.wrap({
+            "model": "api_inp", "output_dir": str(tmp_path / "api_inp"),
+            "inpainting": 0.0625, "use_ema": False, "with_vae": True}))
+        path = tr.save_final()
+    finally:
+        zoo.ZOO.pop("api_inp", None)
+
+    pipe = RangePipeline.from_pretrained(path, dtype=jnp.float32)
+    assert pipe.cond_channels == 5
+    rng = np.random.default_rng(0)
+    masked = rng.standard_normal((2, 8, 64, 2)).astype(np.float32)
+    mask = -np.ones((2, 8, 64, 1), np.float32)
+    mask[:, :, :4, :] = 1.0
+    filled = pipe.inpaint(masked, mask, num_inference_steps=3)
+    assert filled.shape == (2, 8, 64, 2) and np.isfinite(filled).all()
