@@ -29,25 +29,38 @@ import numpy as np
 
 class RangePipeline:
     def __init__(self, pipe: dict, sensor: str = "kitti360",
-                 dtype=jnp.bfloat16, spec=None):
+                 dtype=jnp.bfloat16, spec=None, mesh=None):
         self._p = pipe
         self.sensor = sensor
         self.dtype = dtype
         self._spec = spec          # explicit SensorSpec override
+        self.mesh = mesh           # shard every sample batch over this mesh
         self._fns = {}
 
     # -- construction ---------------------------------------------------
     @classmethod
     def from_pretrained(cls, path: str, sensor: str = "kitti360",
                         dtype=jnp.bfloat16, use_ema: bool = True,
-                        spec=None) -> "RangePipeline":
+                        spec=None, mesh=None) -> "RangePipeline":
         """`spec` overrides the registry sensor lookup with an explicit
-        SensorSpec (custom beam tables / reduced-resolution models)."""
+        SensorSpec (custom beam tables / reduced-resolution models).
+
+        `mesh` (single-axis jax.sharding.Mesh, or the string "auto" for all
+        local chips) makes every generation call a mesh-sharded program:
+        batch over chips, params replicated — so inference uses the whole
+        host like the reference's 8-GPU PartialState (ldm/inference.py:56).
+        Batch sizes must then be multiples of the mesh size."""
         from rangeldm_tpu.sample_ldm import load_any_pipeline
         from rangeldm_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
+        if isinstance(mesh, str):
+            if mesh != "auto":
+                raise ValueError("mesh must be a Mesh, None, or 'auto'")
+            from rangeldm_tpu.parallel.mesh import make_mesh
+            n = len(jax.local_devices())
+            mesh = make_mesh(n) if n > 1 else None
         return cls(load_any_pipeline(path, dtype=dtype, use_ema=use_ema),
-                   sensor=sensor, dtype=dtype, spec=spec)
+                   sensor=sensor, dtype=dtype, spec=spec, mesh=mesh)
 
     # -- introspection --------------------------------------------------
     @property
@@ -60,9 +73,18 @@ class RangePipeline:
 
     @property
     def cond_channels(self) -> int:
+        from rangeldm_tpu.sample_ldm import pipe_pos_encoding
         cfg = self._p["unet_cfg"]
-        pos = 1 if bool(self._p["meta"].get("pos_encoding", True)) else 0
+        pos = 1 if pipe_pos_encoding(self._p) else 0
         return cfg.in_channels - cfg.out_channels - pos
+
+    @property
+    def vae_down_factor(self) -> int:
+        """Spatial image->latent factor of the attached VAE (2 per
+        downsample level)."""
+        if not self.is_latent:
+            return 1
+        return 2 ** (len(self._p["vae_cfg"].ch_mult) - 1)
 
     @property
     def spec(self):
@@ -94,18 +116,26 @@ class RangePipeline:
             key = ("traj", batch_size, num_inference_steps, method)
             fn = self._fns.get(key)
             if fn is None:
+                from rangeldm_tpu.sample_ldm import (
+                    _sampling_mesh_shardings, pipe_pos_encoding)
+                data_shd, _ = _sampling_mesh_shardings(self.mesh, batch_size)
+                up, vp = p["unet_params"], p["vae_params"]
+                if self.mesh is not None:
+                    from rangeldm_tpu.parallel.mesh import replicate
+                    up = replicate(self.mesh, up)
+                    vp = replicate(self.mesh, vp)
+
                 def traj_fn(r):
                     return latent_sample(
-                        lambda x, t: p["unet"].apply(p["unet_params"], x, t),
-                        lambda z: p["vae"].apply(p["vae_params"], z,
-                                                 method="decode"),
+                        lambda x, t: p["unet"].apply(up, x, t),
+                        lambda z: p["vae"].apply(vp, z, method="decode"),
                         p["schedule"], r,
                         (batch_size, h, w, cfg.out_channels),
                         p["vae_cfg"].scaling_factor,
                         num_steps=num_inference_steps, method=method,
-                        pos_encoding=bool(p["meta"].get(
-                            "pos_encoding", True)),
-                        final_only=False, dtype=self.dtype)
+                        pos_encoding=pipe_pos_encoding(p),
+                        final_only=False, dtype=self.dtype,
+                        sharding=data_shd)
                 fn = self._fns[key] = jax.jit(traj_fn)
             image, traj = fn(rng)
             return (np.asarray(image, np.float32),
@@ -116,7 +146,7 @@ class RangePipeline:
         if fn is None:
             fn = self._fns[key] = build_sampler(
                 self._p, batch_size, num_inference_steps, method,
-                dtype=self.dtype)
+                dtype=self.dtype, mesh=self.mesh)
         return np.asarray(fn(rng), np.float32)
 
     # -- conditional generation ----------------------------------------
@@ -128,7 +158,8 @@ class RangePipeline:
         fn = self._fns.get(key)
         if fn is None:
             fn = self._fns[key] = build_conditional_sampler(
-                self._p, bs, mode, num_steps, factor, dtype=self.dtype)
+                self._p, bs, mode, num_steps, factor, dtype=self.dtype,
+                mesh=self.mesh)
         return np.asarray(fn(rng, cond_inputs), np.float32)
 
     def upsample(self, sparse_images, num_inference_steps: int = 50,
@@ -136,10 +167,23 @@ class RangePipeline:
                  factor: Optional[int] = None) -> np.ndarray:
         """Beam densification (LDMUpscalePipelineRange with the
         SparseRangeImageEncoder2 condition): sparse (B, H/f, W, C) ->
-        dense (B, H, W, C). `factor` defaults to cond_channels / C."""
+        dense (B, H, W, C). `factor` defaults to cond_channels / C and is
+        validated against the model's condition-channel count: the pixel
+        unshuffle produces exactly factor*C channels, so anything else
+        would feed the UNet a silently-wrong condition
+        (ldm/encoders.py:86-95 SparseRangeImageEncoder2)."""
         sparse_images = jnp.asarray(sparse_images)
+        c = sparse_images.shape[-1]
         if factor is None:
-            factor = max(self.cond_channels // sparse_images.shape[-1], 1)
+            factor = max(self.cond_channels // c, 1)
+        if factor * c != self.cond_channels:
+            want = (self.cond_channels // c if self.cond_channels % c == 0
+                    else self.cond_channels / c)
+            raise ValueError(
+                f"upsample factor {factor} x {c} input channels != the "
+                f"model's {self.cond_channels} condition channels; this "
+                f"model expects factor={want} or a different input channel "
+                f"count (used_feature)")
         if rng is None:
             rng = jax.random.PRNGKey(seed)
         return self._cond_sample({"down": sparse_images}, "upsample",
@@ -148,13 +192,16 @@ class RangePipeline:
     def inpaint(self, masked_images, masks, num_inference_steps: int = 50,
                 seed: int = 0, rng: Optional[jax.Array] = None) -> np.ndarray:
         """Azimuth-sector inpainting (masked-image latent + resized mask
-        condition, ldm/pipelines.py:406-412)."""
+        condition, ldm/pipelines.py:406-412). The mask's latent-resolution
+        resize factor is the VAE's own down factor (the sampler derives it
+        from the VAE config; no user knob — it is not a free parameter)."""
         if rng is None:
             rng = jax.random.PRNGKey(seed)
         return self._cond_sample(
             {"masked_image": jnp.asarray(masked_images),
              "inpainting_mask": jnp.asarray(masks)},
-            "inpainting", num_inference_steps, rng, factor=4)
+            "inpainting", num_inference_steps, rng,
+            factor=self.vae_down_factor)
 
     # -- post-processing ------------------------------------------------
     def to_point_clouds(self, images, max_depth: float = 90.0):

@@ -10,6 +10,15 @@ Four pipelines mirror the reference API surface:
 
 All functions take a `model_fn(x, t) -> model_out` closure (params already
 bound) so they stay agnostic of flax module plumbing and jit cleanly.
+
+Multi-chip inference: every sampler accepts `sharding` (a NamedSharding
+whose batch axis is a mesh axis). The initial noise — and hence the whole
+lax.scan carry — is constrained to it, so one jitted program runs the
+denoise loop batch-parallel over all chips of the mesh, XLA keeping every
+per-step activation sharded (the TPU equivalent of the reference's 8-GPU
+`PartialState` inference sharding, ldm/inference.py:56,159). The noise
+values themselves depend only on (key, shape), never on the layout, so a
+sharded run is sample-for-sample identical to the single-device run.
 """
 
 from __future__ import annotations
@@ -35,6 +44,14 @@ def _scan_ts(schedule: Schedule, num_steps: int):
     ts = schedule.timesteps(num_steps)
     ratio = schedule.cfg.num_train_timesteps // num_steps
     return jnp.asarray(ts), jnp.asarray(ts - ratio)
+
+
+def _constrain(x, sharding):
+    """Pin `x` (and through scan-carry propagation, the whole denoise loop)
+    to a batch sharding. No-op outside jit or with sharding=None."""
+    if sharding is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding)
 
 
 def denoise(model_fn: Callable, schedule: Schedule, x: jnp.ndarray,
@@ -78,10 +95,11 @@ def denoise(model_fn: Callable, schedule: Schedule, x: jnp.ndarray,
 
 def ddpm_sample(model_fn, schedule: Schedule, rng: jax.Array,
                 shape: Tuple[int, ...], num_steps: int = 1000,
-                pos_encoding: bool = False, dtype=jnp.float32) -> jnp.ndarray:
+                pos_encoding: bool = False, dtype=jnp.float32,
+                sharding=None) -> jnp.ndarray:
     """Pixel-space ancestral sampling (DDPMPipelineRange)."""
     rng, init = jax.random.split(rng)
-    x = jax.random.normal(init, shape, dtype)
+    x = _constrain(jax.random.normal(init, shape, dtype), sharding)
     pos = make_pos_encoding(shape[0], shape[1], shape[2], dtype) if pos_encoding else None
     return denoise(model_fn, schedule, x, num_steps, rng, method="ddpm",
                    pos_encoding=pos)
@@ -89,10 +107,11 @@ def ddpm_sample(model_fn, schedule: Schedule, rng: jax.Array,
 
 def ddim_sample(model_fn, schedule: Schedule, rng: jax.Array,
                 shape: Tuple[int, ...], num_steps: int = 50, eta: float = 0.0,
-                pos_encoding: bool = False, dtype=jnp.float32) -> jnp.ndarray:
+                pos_encoding: bool = False, dtype=jnp.float32,
+                sharding=None) -> jnp.ndarray:
     """Pixel-space DDIM sampling (DDIMPipelineRange / RangeDM)."""
     rng, init = jax.random.split(rng)
-    x = jax.random.normal(init, shape, dtype)
+    x = _constrain(jax.random.normal(init, shape, dtype), sharding)
     pos = make_pos_encoding(shape[0], shape[1], shape[2], dtype) if pos_encoding else None
     return denoise(model_fn, schedule, x, num_steps, rng, method="ddim",
                    eta=eta, pos_encoding=pos)
@@ -105,15 +124,19 @@ def latent_sample(model_fn, vae_decode: Callable, schedule: Schedule,
                   pos_encoding: bool = True,
                   cond: Optional[jnp.ndarray] = None,
                   final_only: bool = True,
-                  dtype=jnp.float32):
+                  dtype=jnp.float32,
+                  sharding=None):
     """Latent diffusion sampling + VAE decode (LDMPipelineRange; conditional
     when `cond` is provided, LDMUpscalePipelineRange). final_only=False
     returns (image, per-step decoded images) — the denoising-trajectory
     visualization of ldm/pipelines.py:350-355 — with the per-step decodes
     vmapped over the collected latents instead of interleaved."""
     rng, init = jax.random.split(rng)
-    latents = jax.random.normal(init, latent_shape, dtype)
+    latents = _constrain(jax.random.normal(init, latent_shape, dtype),
+                         sharding)
     latents = latents * schedule.init_noise_sigma
+    if cond is not None:
+        cond = _constrain(cond, sharding)
     pos = (make_pos_encoding(latent_shape[0], latent_shape[1], latent_shape[2],
                              dtype) if pos_encoding else None)
     out = denoise(model_fn, schedule, latents, num_steps, rng,

@@ -14,7 +14,9 @@ Writes the triplet layout the MAE metrics consume
 from __future__ import annotations
 
 import argparse
+import functools
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -30,22 +32,36 @@ from rangeldm_tpu.utils.cache import enable_compilation_cache
 
 def build_conditional_sampler(pipe, batch_size: int, mode: str,
                               num_steps: int = 50, factor: int = 4,
-                              dtype=jnp.bfloat16):
+                              dtype=jnp.bfloat16, mesh=None):
+    """`mesh` shards the conditional sample batch (noise, condition encode,
+    denoise loop, decode) over all its chips, like build_sampler — the TPU
+    equivalent of the reference's multi-GPU conditional inference
+    (ldm/inference_conditional.py + accelerate PartialState)."""
+    from rangeldm_tpu.sample_ldm import (_sampling_mesh_shardings,
+                                         pipe_pos_encoding)
     unet, up = pipe["unet"], pipe["unet_params"]
     vae, vp = pipe["vae"], pipe["vae_params"]
     sf = pipe["vae_cfg"].scaling_factor
     cfg = pipe["unet_cfg"]
     h, w = cfg.sample_size
-    # honor the pipeline's pos-encoding flag (meta from model_index.json /
-    # the diffusers-layout heuristic): a conditional model trained with
-    # the pos channel needs it at sampling too (shipped conditional
+    # honor the pipeline's pos-encoding flag: a conditional model trained
+    # with the pos channel needs it at sampling too (shipped conditional
     # configs are pos-free, models/zoo.py)
-    pos = bool(pipe["meta"].get("pos_encoding", False))
+    pos = pipe_pos_encoding(pipe)
+    data_shd, repl = _sampling_mesh_shardings(mesh, batch_size)
+    jit_kw = {} if mesh is None else {
+        # rng replicated, condition inputs batch-sharded, output gathered
+        # per-shard; in_shardings is a pytree prefix so one sharding covers
+        # the whole cond_inputs dict
+        "in_shardings": (repl, data_shd), "out_shardings": data_shd}
+    if mesh is not None:
+        from rangeldm_tpu.parallel.mesh import replicate
+        up, vp = replicate(mesh, up), replicate(mesh, vp)
 
     def unet_fn(x, t):
         return unet.apply(up, x, t)
 
-    @jax.jit
+    @functools.partial(jax.jit, **jit_kw)
     def sample(rng, cond_inputs):
         if mode == "upsample":
             cond = pixel_unshuffle_azimuth(
@@ -61,7 +77,8 @@ def build_conditional_sampler(pipe, batch_size: int, mode: str,
             unet_fn, lambda z: vae.apply(vp, z, method="decode"),
             pipe["schedule"], rng,
             (batch_size, h, w, cfg.out_channels), sf, cond,
-            num_steps=num_steps, pos_encoding=pos, dtype=dtype)
+            num_steps=num_steps, pos_encoding=pos, dtype=dtype,
+            sharding=data_shd)
 
     return sample
 
@@ -81,12 +98,16 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--factor", type=int, default=4)
     ap.add_argument("--mask_rate", type=float, default=0.0625)
+    ap.add_argument("--mesh_devices", default="auto",
+                    help="local chips to shard each batch over ('auto'/int)")
     args = ap.parse_args()
 
     enable_compilation_cache()
+    from rangeldm_tpu.sample_ldm import resolve_sampling_mesh
     pipe = load_any_pipeline(args.pipeline)
+    mesh = resolve_sampling_mesh(args.mesh_devices, args.batch_size)
     sample = build_conditional_sampler(pipe, args.batch_size, args.mode,
-                                       args.steps, args.factor)
+                                       args.steps, args.factor, mesh=mesh)
 
     prefix = "densification" if args.mode == "upsample" else "inpainting"
     for sub in ("result", "target", "input"):
@@ -119,6 +140,9 @@ def main():
                     inp)
             idx += 1
     print(f"wrote {idx} conditional samples to {args.out}")
+    if idx < args.samples:
+        print(f"warning: dataset exhausted at {idx} < requested "
+              f"{args.samples} samples", file=sys.stderr)
 
 
 if __name__ == "__main__":

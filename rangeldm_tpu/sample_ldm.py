@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import json
 import os
 from typing import Optional
@@ -158,47 +159,134 @@ def load_diffusers_pipeline(path: str, dtype=jnp.bfloat16,
                 vae_params=vae_params, schedule=sched)
 
 
+def pipe_pos_encoding(pipe) -> bool:
+    """The ONE place the pos-encoding flag of a loaded pipeline is decided
+    (ADVICE r3: api.py and sample_conditional.py used different defaults).
+    Both loaders record it in meta; a hand-built pipe dict without the key
+    falls back to the channel-accounting heuristic that identified it for
+    the released HF layout: across all five released configs an in-out gap
+    of exactly 1 is the pos channel, anything else is condition channels
+    (models/zoo.py)."""
+    meta = pipe.get("meta") or {}
+    if "pos_encoding" in meta:
+        return bool(meta["pos_encoding"])
+    cfg = pipe["unet_cfg"]
+    return (cfg.in_channels - cfg.out_channels) == 1
+
+
+def _sampling_mesh_shardings(mesh, batch_size: int):
+    """(batch sharding, replicated sharding) for mesh-sharded inference, with
+    the divisibility check every sampler needs. mesh=None -> (None, None)."""
+    if mesh is None:
+        return None, None
+    from rangeldm_tpu.parallel.mesh import data_sharding, replicated
+    n = mesh.size
+    if batch_size % n:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {n}; "
+            f"pick a multiple so every chip gets equal work")
+    return data_sharding(mesh, 4), replicated(mesh)
+
+
 def build_sampler(pipe, batch_size: int, num_steps: int = 50,
                   method: str = "ddim", dtype=jnp.bfloat16,
-                  eta: float = 0.0):
+                  eta: float = 0.0, mesh=None):
     """`eta` is the DDIM stochasticity knob the reference pipelines expose
     (DDIMPipelineRange/LDMPipelineRange __call__ eta=0.0); ignored by the
-    ancestral ddpm method."""
+    ancestral ddpm method.
+
+    `mesh` (a jax.sharding.Mesh with one axis) turns the returned program
+    into a mesh-sharded one: params replicate, the sample batch shards over
+    the mesh axis, and every denoise step runs batch-parallel on all chips —
+    the TPU equivalent of the reference's 8-GPU `PartialState` inference
+    (ldm/inference.py:56,159). Output is sample-for-sample identical to the
+    single-device program for the same rng (noise depends only on key+shape).
+    """
     unet, params = pipe["unet"], pipe["unet_params"]
     cfg = pipe["unet_cfg"]
     h, w = cfg.sample_size
-    pos = bool(pipe["meta"].get("pos_encoding", True))
+    pos = pipe_pos_encoding(pipe)
+    data_shd, repl = _sampling_mesh_shardings(mesh, batch_size)
+    jit_kw = {} if mesh is None else {"out_shardings": data_shd}
+    if mesh is not None:
+        from rangeldm_tpu.parallel.mesh import replicate
+        params = replicate(mesh, params)
 
     def unet_fn(x, t):
         return unet.apply(params, x, t)
 
     if pipe["vae"] is not None:
         vae, vp = pipe["vae"], pipe["vae_params"]
+        if mesh is not None:
+            from rangeldm_tpu.parallel.mesh import replicate
+            vp = replicate(mesh, vp)
         sf = pipe["vae_cfg"].scaling_factor
 
         def vae_decode(z):
             return vae.apply(vp, z, method="decode")
 
-        @jax.jit
+        @functools.partial(jax.jit, **jit_kw)
         def sample(rng):
             return latent_sample(unet_fn, vae_decode, pipe["schedule"], rng,
                                  (batch_size, h, w, cfg.out_channels), sf,
                                  num_steps=num_steps, method=method,
-                                 eta=eta, pos_encoding=pos, dtype=dtype)
+                                 eta=eta, pos_encoding=pos, dtype=dtype,
+                                 sharding=data_shd)
     else:
-        @jax.jit
+        @functools.partial(jax.jit, **jit_kw)
         def sample(rng):
             if method == "ddim":
                 return ddim_sample(unet_fn, pipe["schedule"], rng,
                                    (batch_size, h, w, cfg.out_channels),
                                    num_steps=num_steps, eta=eta,
-                                   pos_encoding=pos, dtype=dtype)
+                                   pos_encoding=pos, dtype=dtype,
+                                   sharding=data_shd)
             return ddpm_sample(unet_fn, pipe["schedule"], rng,
                                (batch_size, h, w, cfg.out_channels),
                                num_steps=num_steps, pos_encoding=pos,
-                               dtype=dtype)
+                               dtype=dtype, sharding=data_shd)
 
     return sample
+
+
+def resolve_sampling_mesh(mesh_devices: str, batch_size: int):
+    """CLI policy for the inference mesh: 'auto' uses the largest prefix of
+    the local devices that divides the batch (a v5e host exposes 4-8 chips
+    to ONE process — leaving them idle halves-to-eighths throughput); an
+    integer pins the count; <=1 device means no mesh (plain single-device
+    jit)."""
+    from jax.sharding import Mesh
+    local = jax.local_devices()     # process-LOCAL mesh: composes with the
+    n_local = len(local)            # per-process sample-range sharding below
+    if str(mesh_devices).strip().lower() == "auto":
+        n = n_local
+        while n > 1 and batch_size % n:
+            n -= 1
+    else:
+        n = int(mesh_devices)
+        if n > n_local:
+            raise ValueError(f"--mesh_devices {n} > {n_local} local devices")
+    return Mesh(np.asarray(local[:n]), ("data",)) if n > 1 else None
+
+
+def adapt_spec_to_model(spec, image_size):
+    """Reduce a registry SensorSpec to a model's (H, W) so the CLIs can
+    back-project reduced-resolution models (the data pipeline's `width:`
+    override, DatasetConfig.width, applied at inference). Slicing the beam
+    tables keeps the top H beams' calibration; full-size models pass
+    through unchanged."""
+    h, w = int(image_size[0]), int(image_size[1])
+    if (spec.n_beams, spec.width) == (h, w):
+        return spec
+    kw = {"width": w}
+    if h != spec.n_beams:
+        kw.update(n_beams=h, height=spec.height[:h], zenith=spec.zenith[:h],
+                  grid_sizes=(1, max(2, spec.grid_sizes[1] * w // spec.width),
+                              max(2, spec.grid_sizes[2] * w // spec.width)))
+    import sys
+    print(f"note: sensor '{spec.name}' reduced to model resolution "
+          f"{h}x{w}", file=sys.stderr)
+    return spec.replace(**kw)
 
 
 def save_outputs(images: np.ndarray, spec, out_dir: str, start_idx: int,
@@ -238,13 +326,19 @@ def main():
                     help="DDIM stochasticity (reference pipelines' eta)")
     ap.add_argument("--sensor", default="kitti360")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mesh_devices", default="auto",
+                    help="local chips to shard each sample batch over: "
+                         "'auto' (all local devices that divide the batch), "
+                         "an integer, or 1 to disable")
     args = ap.parse_args()
 
     enable_compilation_cache()
     pipe = load_any_pipeline(args.pipeline)
+    mesh = resolve_sampling_mesh(args.mesh_devices, args.batch_size)
     sample = build_sampler(pipe, args.batch_size, args.steps, args.method,
-                           eta=args.eta)
-    spec = get_spec(args.sensor)
+                           eta=args.eta, mesh=mesh)
+    spec = adapt_spec_to_model(get_spec(args.sensor),
+                               pipe["meta"].get("image_size", [64, 1024]))
 
     # per-process sharding of the sample range (ldm/inference.py:159, 174)
     proc, nproc = jax.process_index(), jax.process_count()
@@ -258,7 +352,9 @@ def main():
         if len(imgs):
             save_outputs(imgs, spec, args.out, start)
             written += len(imgs)
-    print(f"process {proc}/{nproc}: wrote {written} samples to {args.out}")
+    n_mesh = mesh.size if mesh is not None else 1
+    print(f"process {proc}/{nproc} (mesh of {n_mesh} chips): "
+          f"wrote {written} samples to {args.out}")
 
 
 if __name__ == "__main__":

@@ -215,13 +215,23 @@ class LdmTrainer:
                 return int(self.state.step)
         return 0
 
+    def _dump_sharding(self, batch_size: int):
+        """Batch sharding for in-training sample dumps: reuse the training
+        mesh when it divides the dump batch (so the dump runs on all chips
+        like the train step), else fall back to single-device."""
+        if self.mesh.size > 1 and batch_size % self.mesh.size == 0:
+            return self._shard_data
+        return None
+
     def make_sample_fn(self, batch_size: int = 8, num_steps: int = 50):
         """Jitted sampler over the CURRENT ema (or live) params — the
         per-epoch sample dump of ldm/train_unconditional.py:597-652.
-        Returned fn(params, rng) -> decoded images (pixel space if no VAE)."""
+        Returned fn(params, rng) -> decoded images (pixel space if no VAE).
+        Mesh-sharded over the training mesh when the batch divides it."""
         from rangeldm_tpu.pipelines.samplers import ddim_sample, latent_sample
         h, w = self.spec.unet.sample_size
         pos = self.train_cfg.pos_encoding
+        shd = self._dump_sharding(batch_size)
 
         def sample(params, rng):
             def unet_fn(x, t):
@@ -233,13 +243,15 @@ class LdmTrainer:
                     unet_fn, vae_decode, self.schedule, rng,
                     (batch_size, h, w, self.spec.unet.out_channels),
                     self.train_cfg.scaling_factor, num_steps=num_steps,
-                    pos_encoding=pos, dtype=self.dtype)
+                    pos_encoding=pos, dtype=self.dtype, sharding=shd)
             return ddim_sample(unet_fn, self.schedule, rng,
                                (batch_size, h, w, self.spec.unet.out_channels),
                                num_steps=num_steps, pos_encoding=pos,
-                               dtype=self.dtype)
+                               dtype=self.dtype, sharding=shd)
 
-        return jax.jit(sample)
+        if shd is None:
+            return jax.jit(sample)
+        return jax.jit(sample, out_shardings=shd)
 
     def make_cond_sample_fn(self, batch_size: int, num_steps: int = 50):
         """Jitted conditional sampler (the in-training sample dump of
@@ -247,6 +259,7 @@ class LdmTrainer:
         LDMUpscalePipelineRange with the last train batch's conditions)."""
         from rangeldm_tpu.pipelines.samplers import conditional_latent_sample
         h, w = self.spec.unet.sample_size
+        shd = self._dump_sharding(batch_size)
 
         def sample(params, rng, cond_inputs):
             rng, sub = jax.random.split(rng)
@@ -261,9 +274,12 @@ class LdmTrainer:
                 self.schedule, rng,
                 (batch_size, h, w, self.spec.unet.out_channels),
                 self.train_cfg.scaling_factor, cond, num_steps=num_steps,
-                pos_encoding=self.train_cfg.pos_encoding, dtype=self.dtype)
+                pos_encoding=self.train_cfg.pos_encoding, dtype=self.dtype,
+                sharding=shd)
 
-        return jax.jit(sample)
+        if shd is None:
+            return jax.jit(sample)
+        return jax.jit(sample, out_shardings=shd)
 
     def _dump_norm(self):
         """(mean, std) used to denormalize dumped grids — one resolution
