@@ -56,9 +56,9 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     """Build+load under _load_lock — concurrent loader threads must not run
     two `make` builds over the same .so and CDLL a half-written file.
     Cross-PROCESS races (several CLIs / multihost workers starting on one
-    fresh checkout) are serialized with an fcntl file lock: g++ writes the
-    .so in place, so a second process could otherwise CDLL a truncated
-    file mid-write."""
+    fresh checkout) are serialized with an fcntl file lock; the Makefile
+    additionally compiles to a temp file and renames, so even a rebuild
+    that races a dlopen in another process swaps the .so atomically."""
     global _lib, _tried
     _tried = True
     src = os.path.join(_DIR, "projection.cpp")

@@ -148,6 +148,16 @@ def sharded_vae_encode(cfg: VaeConfig, params, x, mesh: Mesh,
     The stride-2 downsample needs every shard's local W divisible by 2 at
     each level (i.e. W / n_devices divisible by cfg.down_factor)."""
     _check(cfg)
+    n_shards = mesh.shape[axis]
+    w = x.shape[2]
+    local_w, rem = divmod(w, n_shards)
+    if rem or local_w % cfg.down_factor:
+        # an odd local width would phase-misalign the (0,1)-halo stride-2
+        # conv and silently produce a wrong-width result
+        raise ValueError(
+            f"sharded_vae_encode: W={w} over {n_shards} '{axis}' shards "
+            f"gives local width {w / n_shards}, which must be an integer "
+            f"divisible by the encoder down factor {cfg.down_factor}")
     ep = params["encoder"]
     n_levels = len(cfg.ch_mult)
 

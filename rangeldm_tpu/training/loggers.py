@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import logging
 import os
 import signal
 import threading
@@ -60,7 +61,12 @@ class ScalarLogger:
                 self.wandb = wandb_mod.init(
                     project=wandb_project, dir=out_dir,
                     mode=os.environ.get("WANDB_MODE", "offline"))
-            except Exception:
+            except Exception as e:
+                # the caller asked for wandb explicitly — don't lose the
+                # sink silently (ADVICE r3)
+                logging.getLogger(__name__).warning(
+                    "wandb requested but unavailable, continuing without "
+                    "it: %s", e)
                 self.wandb = None
 
     def _write_csv(self, rec: Dict[str, float]) -> None:

@@ -100,6 +100,14 @@ def test_unsupported_configs_raise(vae_setup):
     with pytest.raises(NotImplementedError, match="circular"):
         sharded_vae_decode(noncirc, params, jnp.zeros((1, 4, 32, 4)),
                            _mesh())
+    # encoder width validation: local W must divide by the down factor —
+    # an odd local width would stride-phase-misalign the (0,1)-halo
+    # downsample and return a silently wrong-width result (ADVICE r3)
+    with pytest.raises(ValueError, match="down factor"):
+        sharded_vae_encode(cfg, params, jnp.zeros((1, 16, 120, 2)), _mesh())
+    with pytest.raises(ValueError, match="down factor"):
+        # divisible by n_shards (8*13=104) but 13 not by down factor 4
+        sharded_vae_encode(cfg, params, jnp.zeros((1, 16, 104, 2)), _mesh())
 
 
 @pytest.mark.heavy
