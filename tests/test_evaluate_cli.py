@@ -80,6 +80,53 @@ def test_evaluate_iou_accuracy(tmp_path, rng):
     assert 0.0 <= res2["accuracy"] < 1.0
 
 
+@pytest.mark.heavy
+def test_evaluate_frd_cli(tmp_path, rng, monkeypatch):
+    """--frd through main(): dir orchestration, --rangenet/--limit
+    forwarding, finite score (VERDICT r3 weak #6). Reference:
+    metrics/metric.py:99-135."""
+    ckpt = _make_rangenet_ckpt(tmp_path)
+    gen = tmp_path / "samples"
+    gen.mkdir()
+    scans = [synthetic_scan(rng, n=6000) for _ in range(4)]
+    for i, s in enumerate(scans):
+        s.tofile(gen / f"{i}.bin")
+    root = tmp_path / "kitti"
+    d = root / "data_3d_raw" / "2013_05_28_drive_0000_sync" / \
+        "velodyne_points" / "data"
+    d.mkdir(parents=True)
+    for i in range(3):
+        synthetic_scan(rng, n=6000).tofile(d / f"{i:010d}.bin")
+    monkeypatch.setenv("KITTI360_DATASET", str(root))
+
+    # spy on the final distance call to verify --limit truncated BOTH
+    # feature stacks, while the real glob/load/project/extract path runs
+    from rangeldm_tpu.metrics import frd_pipeline
+    seen = []
+    real_compute_frd = frd_pipeline.compute_frd
+
+    def spy(a, b, **kw):
+        seen.append((a.shape, b.shape))
+        return real_compute_frd(a, b, **kw)
+
+    monkeypatch.setattr(frd_pipeline, "compute_frd", spy)
+
+    from rangeldm_tpu.evaluate import main
+    res = main(["--exp", str(gen), "--frd", "--rangenet", ckpt,
+                "--limit", "2"])
+    assert np.isfinite(res["frd"]) and res["frd"] >= 0.0
+    (gen_shape, ref_shape), = seen
+    assert gen_shape[0] == 2, "--limit not forwarded to the sample dir glob"
+    assert ref_shape[0] == 2, "--limit not forwarded to the reference files"
+
+    # missing --rangenet is a clear error, not a crash deep in the stack
+    with pytest.raises(ValueError, match="rangenet"):
+        main(["--exp", str(gen), "--frd"])
+    # FRD is KITTI-only, exactly like the reference metric CLI
+    with pytest.raises(SystemExit, match="KITTI-only"):
+        main(["--exp", str(gen), "--frd", "--nus", "--rangenet", ckpt])
+
+
 def test_segmentation_iou_self_consistency(rng):
     from rangeldm_tpu.metrics.mae import (
         segmentation_accuracy, segmentation_iou,
