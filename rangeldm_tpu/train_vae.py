@@ -309,11 +309,13 @@ def main():
     from rangeldm_tpu.utils.cache import honor_jax_platforms_env
     honor_jax_platforms_env()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--cfg", required=True, nargs="+",
+                    help="YAML config(s), merged left-to-right — later "
+                         "files override (vae/main.py:632-636 convention)")
     ap.add_argument("--max_steps", type=int, default=None)
     args = ap.parse_args()
     from rangeldm_tpu.train_ldm import expand_env
-    cfg = Cfg.wrap(expand_env(load_config(args.cfg)))
+    cfg = Cfg.wrap(expand_env(load_config(*args.cfg)))
 
     from rangeldm_tpu.data.datasets import (
         DatasetConfig, RangeImageDataset, RangeLoader,
