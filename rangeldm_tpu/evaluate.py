@@ -28,8 +28,9 @@ def load_bin(path: str, n_feats: int = 4) -> np.ndarray:
     return np.fromfile(path, dtype=np.float32).reshape(-1, n_feats)
 
 
-def kitti_reference_files(count: int):
-    root = os.environ.get("KITTI360_DATASET", "")
+def kitti_reference_files(count: int, root: str | None = None):
+    if root is None:
+        root = os.environ.get("KITTI360_DATASET", "")
     files = glob.glob(root + "/data_3d_raw/2013_05_28_drive_0000_sync/"
                              "velodyne_points/data/*")
     files += glob.glob(root + "/data_3d_raw/2013_05_28_drive_0002_sync/"
@@ -40,8 +41,9 @@ def kitti_reference_files(count: int):
     return files[:count]
 
 
-def nuscenes_reference_files(count: int):
-    root = os.environ.get("NUSCENES_DATASET", "")
+def nuscenes_reference_files(count: int, root: str | None = None):
+    if root is None:
+        root = os.environ.get("NUSCENES_DATASET", "")
     with open(os.path.join(root, "v1.0-test/sample_data.json")) as f:
         sample_data = json.load(f)
     files = [os.path.join(root, x["filename"]) for x in sample_data

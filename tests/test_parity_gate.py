@@ -1,0 +1,123 @@
+"""The one-command released-weight parity gate runs end-to-end on synthetic
+weights + a synthetic KITTI tree (VERDICT r3 missing #3): the real run is
+then pure data. Covers the FAIL branch (random weights vs published
+targets), the PASS branch (loosened targets over --skip_sampling re-gate),
+the per-stage numeric report, and target auto-detection."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import synthetic_scan
+from rangeldm_tpu.models import zoo
+from rangeldm_tpu.models.unet import UNetConfig
+from rangeldm_tpu.models.vae import VaeConfig
+from rangeldm_tpu.utils.config import Cfg
+
+TINY_GATE = zoo.ModelSpec(
+    name="tiny_gate",
+    unet=UNetConfig(sample_size=(4, 32), in_channels=5, out_channels=4,
+                    block_out_channels=(32, 32),
+                    down_block_types=("DownBlock2D", "DownBlock2D"),
+                    up_block_types=("UpBlock2D", "UpBlock2D")),
+    vae=VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4),
+    image_size=(8, 64),
+)
+zoo.ZOO["tiny_gate"] = lambda: TINY_GATE
+
+
+@pytest.fixture
+def kitti_heldout(tmp_path, rng):
+    root = tmp_path / "kitti"
+    for drive in ("0000_sync", "0002_sync"):
+        d = root / "data_3d_raw" / f"2013_05_28_drive_{drive}" / \
+            "velodyne_points" / "data"
+        d.mkdir(parents=True)
+        for i in range(3):
+            synthetic_scan(rng, n=6000).tofile(d / f"{i:010d}.bin")
+    return str(root)
+
+
+@pytest.mark.heavy
+def test_parity_gate_end_to_end(tmp_path, rng, kitti_heldout):
+    from rangeldm_tpu.train_ldm import LdmTrainer
+    from rangeldm_tpu import parity_gate
+
+    cfg = Cfg.wrap({"model": "tiny_gate",
+                    "output_dir": str(tmp_path / "run"),
+                    "train_batch_size": 8, "use_ema": False,
+                    "with_vae": True})
+    tr = LdmTrainer(cfg)
+
+    def batches(n):
+        for _ in range(n):
+            yield {"jpg": rng.standard_normal((8, 8, 64, 2)).astype(
+                np.float32)}
+
+    tr.fit(batches(2), max_steps=2, log_every=1)
+    weights = tr.save_final()
+    out = str(tmp_path / "gate_out")
+
+    # FAIL branch: a 2-step-trained toy cannot meet the published README
+    # numbers — the gate must say so with finite scores, exit code 1
+    code = parity_gate.main([
+        "--weights", weights, "--data", kitti_heldout, "--out", out,
+        "--samples", "4", "--batch_size", "4", "--steps", "2", "--fp32"])
+    assert code == 1
+    with open(os.path.join(out, "parity_report.json")) as f:
+        report = json.load(f)
+    assert report["pass"] is False
+    assert report["target"] == "rangeldm_kitti360"  # auto-detected: has VAE
+    assert report["image_size"] == [8, 64]
+    # per-stage numeric report is present and sane
+    assert report["unet_stage"]["finite"]
+    assert np.isfinite(report["vae_stage"]["recon_mae_m"])
+    assert np.isfinite(report["vae_stage"]["latent_std"])
+    assert report["vae_stage"]["n_scans"] == 4
+    # scores computed against the published bounds
+    for k in ("mmd", "jsd"):
+        assert np.isfinite(report["scores"][k])
+        assert report["checks"][k]["published"] == \
+            parity_gate.PUBLISHED["rangeldm_kitti360"][k]
+        assert report["checks"][k]["bound"] == pytest.approx(
+            report["checks"][k]["published"] * 1.05)
+    assert report["n_sampled"] == 4
+    assert len([f for f in os.listdir(out) if f.endswith(".bin")]) == 4
+
+    # PASS branch: loosened targets re-gate the existing samples without
+    # regenerating (--skip_sampling)
+    code = parity_gate.main([
+        "--weights", weights, "--data", kitti_heldout, "--out", out,
+        "--samples", "4", "--skip_sampling", "--fp32",
+        "--mmd_target", "1e6", "--jsd_target", "1e6"])
+    assert code == 0
+    with open(os.path.join(out, "parity_report.json")) as f:
+        report2 = json.load(f)
+    assert report2["pass"] is True
+    assert report2["checks"]["mmd"]["ok"] and report2["checks"]["jsd"]["ok"]
+    # deterministic scoring: same samples -> same scores
+    assert report2["scores"]["mmd"] == report["scores"]["mmd"]
+
+
+def test_detect_target_shapes():
+    from rangeldm_tpu import parity_gate
+
+    def fake(h_img, with_vae, down=4):
+        vcfg = VaeConfig(ch=32, ch_mult=(1, 2, 4) if down == 4 else (1, 2),
+                         z_channels=4) if with_vae else None
+        f = vcfg.down_factor if vcfg else 1
+        ucfg = UNetConfig(sample_size=(h_img // f, 1024 // f),
+                          in_channels=5, out_channels=4,
+                          block_out_channels=(32, 32),
+                          down_block_types=("DownBlock2D", "DownBlock2D"),
+                          up_block_types=("UpBlock2D", "UpBlock2D"))
+        return {"meta": {}, "unet_cfg": ucfg, "vae_cfg": vcfg,
+                "vae": object() if with_vae else None}
+
+    assert parity_gate.detect_target(fake(64, True)) == "rangeldm_kitti360"
+    assert parity_gate.detect_target(fake(64, False)) == "rangedm_kitti360"
+    assert parity_gate.detect_target(fake(32, True)) == "rangeldm_nuscenes"
+    assert parity_gate.pipe_image_size(fake(64, True)) == (64, 1024)
+    assert parity_gate.pipe_image_size(fake(64, False)) == (64, 1024)
