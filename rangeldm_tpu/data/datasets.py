@@ -40,6 +40,10 @@ class DatasetConfig:
     inpainting: Optional[float] = None           # masked azimuth fraction
     coord: bool = False
     cache: bool = True
+    # compressed caches are ~25% smaller but ~7x slower to read (zlib is
+    # the steady-state loader bottleneck — tools/bench_loader.py measures
+    # 221 vs 1510 images/s/core); turn off for high-throughput training
+    cache_compress: bool = True
     log: bool = False
     inverse: bool = False
     mean: Optional[float] = None
@@ -154,8 +158,9 @@ class RangeImageDataset:
                 # a truncated zip at the cache path (it would poison every
                 # later epoch with BadZipFile)
                 tmp = cache + f".tmp-{os.getpid()}.npz"
-                np.savez_compressed(tmp, jpg=img, mask=mask,
-                                    car_window_mask=cw)
+                save = np.savez_compressed if self.cfg.cache_compress \
+                    else np.savez
+                save(tmp, jpg=img, mask=mask, car_window_mask=cw)
                 os.replace(tmp, cache)
         img = img[..., :self.cfg.used_feature]
         if self.cfg.coord:

@@ -50,9 +50,13 @@ def expand_env(obj):
 
 
 def load_vae_params(vae: AutoencoderKL, path: Optional[str], image_shape):
-    """sgm .ckpt -> converted params; orbax dir -> restore; None -> random
+    """Every artifact the VAE stage can hand to the LDM stage
+    (vae/main.py:898-906 -> ldm/convert_vae.py -> train_unconditional's
+    --vae): sgm torch `.ckpt` / our exported `.safetensors` via the
+    converter; a pipeline dir (`<dir>/vae/params`) or VaeTrainer's
+    `vae_final` dir (`<dir>/params`) via orbax; None -> random
     (smoke/testing)."""
-    if path and path.endswith(".ckpt"):
+    if path and (path.endswith(".ckpt") or path.endswith(".safetensors")):
         from rangeldm_tpu.convert.sgm_vae import load_sgm_vae
         return jax.tree.map(jnp.asarray, load_sgm_vae(path))
     template = init_on_cpu(vae.init, {"params": jax.random.PRNGKey(0)},
@@ -60,6 +64,13 @@ def load_vae_params(vae: AutoencoderKL, path: Optional[str], image_shape):
                            rng=jax.random.PRNGKey(1))
     if path:
         from rangeldm_tpu.training.checkpoint import load_pipeline_component
+        if os.path.isdir(os.path.join(path, "params")):
+            # train_vae's save_final artifact: <out>/vae_final/{params}
+            import orbax.checkpoint as ocp
+            ckpt = ocp.StandardCheckpointer()
+            return {"params": ckpt.restore(
+                os.path.abspath(os.path.join(path, "params")),
+                template["params"])}
         return {"params": load_pipeline_component(path, "vae", template["params"])}
     return template
 
@@ -456,6 +467,7 @@ def main():
         width=int(dcfg.get("width", 1024)),
         used_feature=int(dcfg.get("used_feature", 2)),
         downsample=cfg.get("upsample"), inpainting=cfg.get("inpainting"),
+        cache_compress=bool(dcfg.get("cache_compress", True)),
         mean=dcfg.get("mean"), std=dcfg.get("std")), train=True)
     bs = int(cfg.get("train_batch_size", 32))
     trainer = LdmTrainer(cfg)

@@ -327,6 +327,7 @@ def main():
         width=int(dcfg.get("width", 1024)),
         used_feature=int(dcfg.get("used_feature", 2)),
         log=encoding == "log", inverse=encoding == "inverse",
+        cache_compress=bool(dcfg.get("cache_compress", True)),
         mean=dcfg.get("mean"), std=dcfg.get("std"))
     ds = RangeImageDataset(ds_config, train=True)
     bs = int(cfg.get("batch_size", 16))

@@ -51,6 +51,29 @@ def test_caching_round_trip(kitti_tree):
     np.testing.assert_array_equal(c, sentinel[..., :c.shape[-1]])
 
 
+def test_cache_uncompressed_option(kitti_tree):
+    """cache_compress: false writes plain .npz (the ~7x-faster-read loader
+    path, tools/bench_loader.py) with identical content and the same cache
+    filename — both formats load transparently."""
+    import os
+    import zipfile
+    comp = RangeImageDataset(DatasetConfig(root=kitti_tree), train=True)
+    a = comp[2]["jpg"]
+    cache = comp._cache_path(comp.files[2])
+    os.remove(cache)
+    fast = RangeImageDataset(DatasetConfig(root=kitti_tree,
+                                           cache_compress=False), train=True)
+    b = fast[2]["jpg"]
+    np.testing.assert_array_equal(a, b)
+    assert fast._cache_path(fast.files[2]) == cache    # same identity
+    with zipfile.ZipFile(cache) as z:
+        assert all(i.compress_type == zipfile.ZIP_STORED
+                   for i in z.infolist())
+    # and the compressed reader still consumes it
+    c = comp[2]["jpg"]
+    np.testing.assert_array_equal(a, c)
+
+
 def test_cache_keyed_by_projection_spec(kitti_tree):
     """Different projection settings over the same root must use different
     cache files (round-3 review: the reference keys its .pth caches by

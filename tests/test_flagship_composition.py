@@ -1,0 +1,163 @@
+"""The flagship composition, executed as ONE chain (VERDICT r3 missing #2):
+
+    train VAE (GAN on) -> freeze -> hand off the saved artifact -> cache
+    latents -> train LDM on them -> latent_sample through the trained
+    decoder -> MMD/JSD beat an untrained-LDM-with-the-same-VAE baseline,
+    and the trained VAE's reconstruction beats its init.
+
+This is the reference's canonical workflow (vae/main.py:898-906 ->
+ldm/convert_vae.py -> ldm/train_unconditional.py:231-234,480-481) on the
+synthetic world of tests/test_quality_gate_e2e.py, driven through the real
+trainers (VaeTrainer.fit/save_final -> LdmTrainer with vae_checkpoint ->
+MomentsDataset latent cache -> the saved pipeline -> build_sampler)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from test_quality_gate_e2e import synthetic_world_scan, tiny_spec, H, W
+from rangeldm_tpu.geometry import range_image_np, to_point_cloud
+from rangeldm_tpu.metrics.histogram import kitti_histogram
+from rangeldm_tpu.metrics.jsd import compute_jsd
+from rangeldm_tpu.metrics.mmd import compute_mmd
+from rangeldm_tpu.models import zoo
+from rangeldm_tpu.models.unet import UNetConfig
+from rangeldm_tpu.models.vae import VaeConfig
+from rangeldm_tpu.utils.config import Cfg
+
+N_TRAIN = 32
+
+
+@pytest.mark.heavy
+def test_vae_then_ldm_then_metrics_one_chain(rng, tmp_path):
+    from rangeldm_tpu.train_vae import VaeTrainer
+
+    spec = tiny_spec()
+    imgs = np.stack([range_image_np(synthetic_world_scan(rng, spec), spec)[0]
+                     for _ in range(N_TRAIN)])
+    held = np.stack([range_image_np(synthetic_world_scan(rng, spec),
+                                    spec)[0] for _ in range(24)])
+    ref_pcs = np.asarray(to_point_cloud(jnp.asarray(held), spec))
+    ref_hists = [kitti_histogram(pc[:, :3]) for pc in ref_pcs]
+
+    # ---- stage 1: VAE-GAN training (vae/main.py:898-906) --------------
+    vae_cfg = {
+        "output_dir": str(tmp_path / "vae"), "batch_size": 8,
+        "image_size": [H, W], "base_learning_rate": 2.5e-4,  # lr = 8x this
+        # toy calibration: strong-ish KL keeps the latent near unit scale
+        # so scaling_factor 1.0 is correct for the diffusion stage
+        "vae": {"ch": 32, "ch_mult": [1, 2], "z_channels": 4,
+                "scaling_factor": 1.0},
+        "loss": {"disc_start": 150, "disc_weight": 0.1, "range_weight": 40.0,
+                 "intensity_weight": 10.0, "kl_weight": 1.0e-3,
+                 "metakernel": True},
+        "data": {"sensor": "kitti360", "width": W},
+        "tensorboard": False,
+    }
+    vt = VaeTrainer(Cfg.wrap(vae_cfg))
+    mae0 = _recon_mae(vt, imgs)
+
+    def vae_batches(n_steps):
+        for i in range(n_steps):
+            yield {"jpg": imgs[(np.arange(8) + 8 * i) % N_TRAIN]}
+
+    last = vt.fit(vae_batches(400), max_steps=400, log_every=100)
+    assert np.isfinite(last["total_loss"])
+    mae1 = _recon_mae(vt, imgs)
+    print(f"[composition] vae recon mae: init {mae0:.4f} -> {mae1:.4f}")
+    assert mae1 < 0.5 * mae0, (mae1, mae0)   # recon must beat init clearly
+    vae_artifact = vt.save_final()           # <out>/vae_final orbax dir
+
+    # ---- stage 2: freeze + latent-cache + LDM training ----------------
+    from rangeldm_tpu.train_ldm import LdmTrainer
+    from rangeldm_tpu.training.latent_cache import MomentsDataset
+
+    lh, lw = H // 2, W // 2
+    zoo.ZOO["tiny_composition"] = lambda: zoo.ModelSpec(
+        name="tiny_composition",
+        unet=UNetConfig(sample_size=(lh, lw), in_channels=5, out_channels=4,
+                        block_out_channels=(32, 64),
+                        down_block_types=("DownBlock2D", "DownBlock2D"),
+                        up_block_types=("UpBlock2D", "UpBlock2D"),
+                        add_mid_attention=False),
+        vae=VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4,
+                      scaling_factor=1.0),
+        image_size=(H, W))
+    tr = LdmTrainer(Cfg.wrap({
+        "model": "tiny_composition", "output_dir": str(tmp_path / "ldm"),
+        "train_batch_size": 8, "use_ema": False, "with_vae": True,
+        "learning_rate": 2e-3, "lr_warmup_steps": 50,
+        "total_steps": 1500, "tensorboard": False,
+        "vae_checkpoint": vae_artifact,
+    }))
+    # the trainer must hold the TRAINED weights, not a random re-init —
+    # this is the artifact handoff the chain exists to prove
+    got = jax.device_get(tr.vae_params)["params"]
+    want = jax.device_get(vt.state.gen_params["vae"])
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(got)[0]), np.asarray(jax.tree.leaves(want)[0]))
+
+    params_untrained = jax.device_get(tr.state.params)
+
+    # one encode pass -> cached posterior moments (train_ldm.py main's
+    # cache_latents flow; MomentsDataset feeds {"moments"} batches)
+    moments = np.asarray(jax.jit(lambda x: tr.vae.apply(
+        tr.vae_params, x, method="encode_moments"))(jnp.asarray(imgs)))
+    assert moments.shape == (N_TRAIN, lh, lw, 8)
+    zstd = float(np.std(moments[..., :4]))
+    print(f"[composition] cached latent std {zstd:.3f}")
+    mds = MomentsDataset(moments)
+
+    def ldm_batches(n_steps):
+        for i in range(n_steps):
+            idx = (np.arange(8) + 8 * i) % len(mds)
+            yield {"moments": np.stack([mds[j]["moments"] for j in idx])}
+
+    last = tr.fit(ldm_batches(1500), max_steps=1500, log_every=500)
+    assert np.isfinite(last["loss"])
+    pipeline_dir = tr.save_final()
+
+    # ---- stage 3: sample through the SAVED pipeline + score -----------
+    from rangeldm_tpu.sample_ldm import build_sampler, load_pipeline
+
+    pipe = load_pipeline(pipeline_dir, dtype=jnp.float32)
+
+    def metrics_for(unet_params, tag):
+        p = dict(pipe, unet_params={"params": unet_params})
+        sampler = build_sampler(p, batch_size=16, num_steps=50,
+                                dtype=jnp.float32)
+        samp = np.asarray(sampler(jax.random.PRNGKey(42)), np.float32)
+        assert samp.shape == (16, H, W, 2)
+        pcs = np.asarray(to_point_cloud(jnp.asarray(samp), spec))
+        hists = [kitti_histogram(pc[:, :3]) for pc in pcs]
+        empties = sum(h.sum() == 0 for h in hists)
+        hists = [h for h in hists if h.sum() > 0]
+        mmd = compute_mmd(hists, ref_hists) if hists else np.inf
+        jsd = compute_jsd(hists, ref_hists) if hists else np.inf
+        print(f"[composition] {tag}: mmd={mmd:.3e} jsd={jsd:.4f} "
+              f"empty={empties}/16")
+        return mmd, jsd, empties
+
+    trained = jax.device_get(tr.state.params)
+    mmd_u, jsd_u, _ = metrics_for(params_untrained, "untrained-ldm")
+    mmd_t, jsd_t, empties_t = metrics_for(trained, "trained-ldm")
+
+    # same gates as the pixel-space quality gate (test_quality_gate_e2e):
+    # 4x MMD margin over the untrained-LDM-same-VAE baseline, strict JSD
+    # improvement, and nearly all samples produce in-range geometry
+    assert empties_t <= 3, empties_t
+    assert np.isfinite([mmd_t, jsd_t]).all()
+    assert mmd_t < 0.25 * mmd_u, (mmd_t, mmd_u)
+    assert jsd_t < 0.95 * jsd_u, (jsd_t, jsd_u)
+
+
+def _recon_mae(vt, imgs) -> float:
+    rec = np.asarray(jax.jit(
+        lambda p, x: vt.vae.apply({"params": p}, x,
+                                  rng=jax.random.PRNGKey(7))[0])(
+        vt.state.gen_params["vae"], jnp.asarray(imgs[:16])), np.float32)
+    return float(np.abs(rec - imgs[:16]).mean())

@@ -22,9 +22,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
+import sys
 import tempfile
 import time
+
+# run from anywhere: the repo root is this file's parent dir (PYTHONPATH
+# breaks the sandbox's TPU plugin, so extend sys.path in-process instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -37,6 +43,8 @@ def main():
     ap.add_argument("--target", type=float, default=536.0,
                     help="images/s the train step consumes (60 ms/b32)")
     ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--uncompressed", action="store_true",
+                    help="bench the cache_compress: false fast-read path")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -65,7 +73,8 @@ def main():
             s[:, 3] = np.roll(s[:, 3], i)
             s.tofile(os.path.join(d, f"{i:010d}.bin"))
 
-        cfg = DatasetConfig(root=root, sensor="kitti360", width=args.width)
+        cfg = DatasetConfig(root=root, sensor="kitti360", width=args.width,
+                            cache_compress=not args.uncompressed)
         ds = RangeImageDataset(cfg, train=True)
         mesh = make_mesh()
         results = {}
