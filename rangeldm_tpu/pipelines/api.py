@@ -101,7 +101,8 @@ class RangePipeline:
         (LDMPipelineRange/DDIMPipelineRange __call__). final_only=False
         additionally returns the decoded per-step denoising trajectory
         (num_steps, B, H, W, C) — ldm/pipelines.py:350-355 — latent
-        pipelines only."""
+        pipelines only. method: 'ddim' (reference), 'ddpm', or 'dpmpp'
+        (DPM-Solver++ 2M — try num_inference_steps=20)."""
         if self.cond_channels > 0:
             raise ValueError("conditional pipeline: use .upsample() / "
                              ".inpaint() instead of __call__")

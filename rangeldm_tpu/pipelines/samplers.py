@@ -67,27 +67,49 @@ def denoise(model_fn: Callable, schedule: Schedule, x: jnp.ndarray,
     With collect_trajectory=True also returns the pre-step state at every
     timestep, (num_steps, B, H, W, C) — the `final_only=False` feature of
     LDMPipelineRange (ldm/pipelines.py:350-355).
+
+    method: 'ddpm' (ancestral), 'ddim' (reference default), or 'dpmpp'
+    (DPM-Solver++ 2M — no reference counterpart; same trained weights,
+    ~2.5x fewer steps at matched quality, deterministic like eta=0 DDIM).
     """
     ts, ts_prev = _scan_ts(schedule, num_steps)
 
-    def body(carry, t_pair):
-        x, rng = carry
-        t, tp = t_pair
+    def model_input(x):
         inp = x
         if cond is not None:
             inp = jnp.concatenate([inp, cond.astype(inp.dtype)], axis=-1)
         if pos_encoding is not None:
-            inp = jnp.concatenate([inp, pos_encoding.astype(inp.dtype)], axis=-1)
-        out = model_fn(inp, t)
-        rng, sub = jax.random.split(rng)
-        prev = x
-        if method == "ddpm":
-            x = schedule.ddpm_step(sub, out, t, tp, x)
-        else:
-            x = schedule.ddim_step(out, t, tp, x, eta=eta, rng=sub)
-        return (x, rng), (prev if collect_trajectory else None)
+            inp = jnp.concatenate([inp, pos_encoding.astype(inp.dtype)],
+                                  axis=-1)
+        return inp
 
-    (x, _), traj = jax.lax.scan(body, (x, rng), (ts, ts_prev))
+    if method == "dpmpp":
+        def body(carry, t_trip):
+            x, prev_x0, h_prev = carry
+            t, tp, i = t_trip
+            out = model_fn(model_input(x), t)
+            prev = x
+            x, x0, h = schedule.dpmpp_2m_step(out, t, tp, x, prev_x0,
+                                              h_prev, i == 0)
+            return (x, x0, h), (prev if collect_trajectory else None)
+
+        init = (x, jnp.zeros_like(x), jnp.asarray(1.0, jnp.float32))
+        (x, _, _), traj = jax.lax.scan(
+            body, init, (ts, ts_prev, jnp.arange(num_steps)))
+    else:
+        def body(carry, t_pair):
+            x, rng = carry
+            t, tp = t_pair
+            out = model_fn(model_input(x), t)
+            rng, sub = jax.random.split(rng)
+            prev = x
+            if method == "ddpm":
+                x = schedule.ddpm_step(sub, out, t, tp, x)
+            else:
+                x = schedule.ddim_step(out, t, tp, x, eta=eta, rng=sub)
+            return (x, rng), (prev if collect_trajectory else None)
+
+        (x, _), traj = jax.lax.scan(body, (x, rng), (ts, ts_prev))
     if collect_trajectory:
         return x, traj
     return x
@@ -108,12 +130,13 @@ def ddpm_sample(model_fn, schedule: Schedule, rng: jax.Array,
 def ddim_sample(model_fn, schedule: Schedule, rng: jax.Array,
                 shape: Tuple[int, ...], num_steps: int = 50, eta: float = 0.0,
                 pos_encoding: bool = False, dtype=jnp.float32,
-                sharding=None) -> jnp.ndarray:
-    """Pixel-space DDIM sampling (DDIMPipelineRange / RangeDM)."""
+                sharding=None, method: str = "ddim") -> jnp.ndarray:
+    """Pixel-space deterministic sampling (DDIMPipelineRange / RangeDM);
+    method='dpmpp' swaps in the DPM-Solver++(2M) update."""
     rng, init = jax.random.split(rng)
     x = _constrain(jax.random.normal(init, shape, dtype), sharding)
     pos = make_pos_encoding(shape[0], shape[1], shape[2], dtype) if pos_encoding else None
-    return denoise(model_fn, schedule, x, num_steps, rng, method="ddim",
+    return denoise(model_fn, schedule, x, num_steps, rng, method=method,
                    eta=eta, pos_encoding=pos)
 
 

@@ -32,11 +32,14 @@ from rangeldm_tpu.utils.cache import enable_compilation_cache
 
 def build_conditional_sampler(pipe, batch_size: int, mode: str,
                               num_steps: int = 50, factor: int = 4,
-                              dtype=jnp.bfloat16, mesh=None):
+                              dtype=jnp.bfloat16, mesh=None,
+                              method: str = "ddim"):
     """`mesh` shards the conditional sample batch (noise, condition encode,
     denoise loop, decode) over all its chips, like build_sampler — the TPU
     equivalent of the reference's multi-GPU conditional inference
-    (ldm/inference_conditional.py + accelerate PartialState)."""
+    (ldm/inference_conditional.py + accelerate PartialState).
+    `method='dpmpp'` swaps the DDIM update for DPM-Solver++(2M) — fewer
+    steps at matched quality; beyond the reference's DDIM-only pipelines."""
     from rangeldm_tpu.sample_ldm import (_sampling_mesh_shardings,
                                          pipe_pos_encoding)
     unet, up = pipe["unet"], pipe["unet_params"]
@@ -78,7 +81,7 @@ def build_conditional_sampler(pipe, batch_size: int, mode: str,
             pipe["schedule"], rng,
             (batch_size, h, w, cfg.out_channels), sf, cond,
             num_steps=num_steps, pos_encoding=pos, dtype=dtype,
-            sharding=data_shd)
+            sharding=data_shd, method=method)
 
     return sample
 
@@ -96,6 +99,7 @@ def main():
     ap.add_argument("--samples", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--method", default="ddim", choices=["ddim", "dpmpp"])
     ap.add_argument("--factor", type=int, default=4)
     ap.add_argument("--mask_rate", type=float, default=0.0625)
     ap.add_argument("--mesh_devices", default="auto",
@@ -107,7 +111,8 @@ def main():
     pipe = load_any_pipeline(args.pipeline)
     mesh = resolve_sampling_mesh(args.mesh_devices, args.batch_size)
     sample = build_conditional_sampler(pipe, args.batch_size, args.mode,
-                                       args.steps, args.factor, mesh=mesh)
+                                       args.steps, args.factor, mesh=mesh,
+                                       method=args.method)
 
     prefix = "densification" if args.mode == "upsample" else "inpainting"
     for sub in ("result", "target", "input"):

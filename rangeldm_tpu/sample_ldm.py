@@ -235,12 +235,12 @@ def build_sampler(pipe, batch_size: int, num_steps: int = 50,
     else:
         @functools.partial(jax.jit, **jit_kw)
         def sample(rng):
-            if method == "ddim":
+            if method in ("ddim", "dpmpp"):
                 return ddim_sample(unet_fn, pipe["schedule"], rng,
                                    (batch_size, h, w, cfg.out_channels),
                                    num_steps=num_steps, eta=eta,
                                    pos_encoding=pos, dtype=dtype,
-                                   sharding=data_shd)
+                                   sharding=data_shd, method=method)
             return ddpm_sample(unet_fn, pipe["schedule"], rng,
                                (batch_size, h, w, cfg.out_channels),
                                num_steps=num_steps, pos_encoding=pos,
@@ -321,7 +321,10 @@ def main():
     ap.add_argument("--samples", type=int, default=1000)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--method", default="ddim", choices=["ddim", "ddpm"])
+    ap.add_argument("--method", default="ddim",
+                    choices=["ddim", "ddpm", "dpmpp"],
+                    help="dpmpp = DPM-Solver++(2M): same weights, ~2.5x "
+                         "fewer steps at matched quality (try --steps 20)")
     ap.add_argument("--eta", type=float, default=0.0,
                     help="DDIM stochasticity (reference pipelines' eta)")
     ap.add_argument("--sensor", default="kitti360")
