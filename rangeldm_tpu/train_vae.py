@@ -107,17 +107,22 @@ class VaeTrainer:
                 "loss.disc_bev requires loss.metakernel: false "
                 "(the MetaKernel discriminator interprets channel 0 as a "
                 "normalized range image, not a BEV density grid)")
+        # reference knob (losses/__init__.py:95 disc_num_layers): depth of
+        # every discriminator variant; small images need fewer stride-2
+        # stages or the logits collapse to zero extent
+        nl = int(lcfg.get("disc_num_layers", 3))
         if mk == 2:
             self.disc = NLayerDiscriminatorMetaKernel2(
-                range_mean=self.sensor_spec.mean,
+                n_layers=nl, range_mean=self.sensor_spec.mean,
                 range_std=self.sensor_spec.std, dtype=self.dtype)
         elif mk:
             self.disc = NLayerDiscriminatorMetaKernel(
-                range_mean=self.sensor_spec.mean,
+                n_layers=nl, range_mean=self.sensor_spec.mean,
                 range_std=self.sensor_spec.std, dtype=self.dtype)
         else:
             self.disc = NLayerDiscriminator(
-                ndf=int(lcfg.get("disc_ndf", 64)), dtype=self.dtype)
+                ndf=int(lcfg.get("disc_ndf", 64)), n_layers=nl,
+                dtype=self.dtype)
 
         bs = int(cfg.get("batch_size", 16))
         base_lr = float(cfg.get("base_learning_rate", 4.5e-6))
