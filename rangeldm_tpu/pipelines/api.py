@@ -152,20 +152,22 @@ class RangePipeline:
 
     # -- conditional generation ----------------------------------------
     def _cond_sample(self, cond_inputs: dict, mode: str, num_steps: int,
-                     rng: jax.Array, factor: int) -> np.ndarray:
+                     rng: jax.Array, factor: int,
+                     method: str = "ddim") -> np.ndarray:
         from rangeldm_tpu.sample_conditional import build_conditional_sampler
         bs = next(iter(cond_inputs.values())).shape[0]
-        key = (mode, bs, num_steps, factor)
+        key = (mode, bs, num_steps, factor, method)
         fn = self._fns.get(key)
         if fn is None:
             fn = self._fns[key] = build_conditional_sampler(
                 self._p, bs, mode, num_steps, factor, dtype=self.dtype,
-                mesh=self.mesh)
+                mesh=self.mesh, method=method)
         return np.asarray(fn(rng, cond_inputs), np.float32)
 
     def upsample(self, sparse_images, num_inference_steps: int = 50,
                  seed: int = 0, rng: Optional[jax.Array] = None,
-                 factor: Optional[int] = None) -> np.ndarray:
+                 factor: Optional[int] = None,
+                 method: str = "ddim") -> np.ndarray:
         """Beam densification (LDMUpscalePipelineRange with the
         SparseRangeImageEncoder2 condition): sparse (B, H/f, W, C) ->
         dense (B, H, W, C). `factor` defaults to cond_channels / C and is
@@ -188,10 +190,12 @@ class RangePipeline:
         if rng is None:
             rng = jax.random.PRNGKey(seed)
         return self._cond_sample({"down": sparse_images}, "upsample",
-                                 num_inference_steps, rng, factor)
+                                 num_inference_steps, rng, factor,
+                                 method=method)
 
     def inpaint(self, masked_images, masks, num_inference_steps: int = 50,
-                seed: int = 0, rng: Optional[jax.Array] = None) -> np.ndarray:
+                seed: int = 0, rng: Optional[jax.Array] = None,
+                method: str = "ddim") -> np.ndarray:
         """Azimuth-sector inpainting (masked-image latent + resized mask
         condition, ldm/pipelines.py:406-412). The mask's latent-resolution
         resize factor is the VAE's own down factor (the sampler derives it
@@ -202,7 +206,7 @@ class RangePipeline:
             {"masked_image": jnp.asarray(masked_images),
              "inpainting_mask": jnp.asarray(masks)},
             "inpainting", num_inference_steps, rng,
-            factor=self.vae_down_factor)
+            factor=self.vae_down_factor, method=method)
 
     # -- post-processing ------------------------------------------------
     def to_point_clouds(self, images, max_depth: float = 90.0):

@@ -145,6 +145,26 @@ def test_dpmpp_second_order_convergence(rng):
     assert e_d500 < 0.2 * e_e500, (e_d500, e_e500)
 
 
+def test_dpmpp_conditional_pipeline_api(rng):
+    """method='dpmpp' through the conditional user API: RangePipeline
+    .upsample -> _cond_sample -> build_conditional_sampler -> the dpmpp
+    scan — the reference's conditional pipelines are DDIM-only
+    (ldm/pipelines.py:386-519), so this is the capability surface."""
+    from rangeldm_tpu.pipelines import RangePipeline
+    pipe_d = _tiny_pipe(cond_channels=4, pos_encoding=False)
+    rp = RangePipeline(dict(pipe_d), dtype=jnp.float32)
+    down = rng.standard_normal((4, 4, 64, 2)).astype(np.float32)
+    ddim = rp.upsample(down, num_inference_steps=3, seed=3, factor=2)
+    dpmpp = rp.upsample(down, num_inference_steps=3, seed=3, factor=2,
+                        method="dpmpp")
+    assert ddim.shape == dpmpp.shape == (4, 8, 64, 2)
+    assert np.isfinite(dpmpp).all()
+    # the method reaches the solver (outputs differ) and the jit cache
+    # keys by method (both programs coexist)
+    assert np.abs(ddim - dpmpp).max() > 1e-4
+    assert len(rp._fns) == 2
+
+
 def test_build_sampler_dpmpp_latent_and_mesh_parity():
     """method='dpmpp' through the full latent pipeline (build_sampler ->
     latent_sample -> denoise -> VAE decode), single-device vs 8-device
