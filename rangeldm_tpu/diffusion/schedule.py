@@ -30,6 +30,10 @@ class ScheduleConfig:
     clip_sample: bool = False
     set_alpha_to_one: bool = True          # DDIM final alpha_cumprod = 1
     steps_offset: int = 0
+    # 'leading' is what the reference samples with (diffusers default);
+    # 'trailing' (arXiv:2305.08891) starts at t = T-1 instead of ~T-T/n,
+    # removing the first-step train/inference SNR mismatch — see timesteps()
+    timestep_spacing: str = "leading"      # 'leading' | 'trailing'
 
 
 def make_betas(cfg: ScheduleConfig) -> np.ndarray:
@@ -116,9 +120,21 @@ class Schedule:
     # --- inference -----------------------------------------------------
     def timesteps(self, num_inference_steps: int) -> np.ndarray:
         """'leading' spacing: (arange(n) * (T // n)).round()[::-1] + offset
-        — diffusers set_timesteps for both DDPM and DDIM."""
-        ratio = self.cfg.num_train_timesteps // num_inference_steps
-        ts = (np.arange(num_inference_steps) * ratio).round()[::-1]
+        — diffusers set_timesteps for both DDPM and DDIM, what the
+        reference samples with. 'trailing': round(arange(T, 0, -T/n)) - 1
+        (diffusers' other spacing, arXiv:2305.08891) — the trajectory
+        starts at t = T-1 (full noise) instead of ~T - T/n, removing the
+        leading spacing's train/inference SNR mismatch at the first step.
+        Which wins at few steps is model-dependent (the analytic harness
+        in tests/test_dpmpp.py measures both ways on different data
+        regimes); the default matches the reference."""
+        n = num_inference_steps
+        T = self.cfg.num_train_timesteps
+        if self.cfg.timestep_spacing == "trailing":
+            ts = np.round(np.arange(T, 0, -T / n)) - 1
+            return ts.astype(np.int32)
+        ratio = T // n
+        ts = (np.arange(n) * ratio).round()[::-1]
         return (ts + self.cfg.steps_offset).astype(np.int32)
 
     def pred_x0(self, model_out, t, x):

@@ -41,9 +41,14 @@ def make_pos_encoding(batch: int, h: int, w: int, dtype=jnp.float32) -> jnp.ndar
 
 
 def _scan_ts(schedule: Schedule, num_steps: int):
+    """(t, t_prev) pairs for the scan: t_prev is the NEXT timestep in the
+    inference schedule (exact for any timestep_spacing), with -1 marking
+    the final sigma=0 boundary. For the reference's 'leading' spacing this
+    equals the diffusers convention t - T//n at every step (both < 0 at
+    the end, and _acp maps any negative t to the final alpha)."""
     ts = schedule.timesteps(num_steps)
-    ratio = schedule.cfg.num_train_timesteps // num_steps
-    return jnp.asarray(ts), jnp.asarray(ts - ratio)
+    ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+    return jnp.asarray(ts), jnp.asarray(ts_prev)
 
 
 def _constrain(x, sharding):

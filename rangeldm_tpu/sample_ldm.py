@@ -327,6 +327,13 @@ def main():
                          "fewer steps at matched quality (try --steps 20)")
     ap.add_argument("--eta", type=float, default=0.0,
                     help="DDIM stochasticity (reference pipelines' eta)")
+    ap.add_argument("--timestep_spacing", default=None,
+                    choices=["leading", "trailing"],
+                    help="override the pipeline's inference timestep "
+                         "spacing ('trailing' = arXiv:2305.08891, no "
+                         "first-step SNR mismatch; default: the "
+                         "pipeline's own, 'leading' for the released "
+                         "configs)")
     ap.add_argument("--sensor", default="kitti360")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mesh_devices", default="auto",
@@ -337,6 +344,10 @@ def main():
 
     enable_compilation_cache()
     pipe = load_any_pipeline(args.pipeline)
+    if args.timestep_spacing:
+        from rangeldm_tpu.diffusion.schedule import Schedule
+        pipe["schedule"] = Schedule.create(dataclasses.replace(
+            pipe["schedule"].cfg, timestep_spacing=args.timestep_spacing))
     mesh = resolve_sampling_mesh(args.mesh_devices, args.batch_size)
     sample = build_sampler(pipe, args.batch_size, args.steps, args.method,
                            eta=args.eta, mesh=mesh)

@@ -85,7 +85,8 @@ def test_dpmpp_numpy_twin(rng):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
 
 
-def _gaussian_world_err(rng, s: float, method: str, n_steps: int) -> float:
+def _gaussian_world_err(rng, s: float, method: str, n_steps: int,
+                        spacing: str = "leading") -> float:
     """Mean |solver endpoint - exact PF-ODE endpoint| for x0 ~ N(mu, s^2).
 
     The optimal epsilon predictor is closed-form (linear-Gaussian
@@ -93,7 +94,7 @@ def _gaussian_world_err(rng, s: float, method: str, n_steps: int) -> float:
     transports Gaussian quantiles affinely — so the exact endpoint from
     any start point x_T is mu + s * (x_T - m_T) / sqrt(v_T), and solver
     error is measurable per sample with no training in the loop."""
-    sched = Schedule.create()
+    sched = Schedule.create(ScheduleConfig(timestep_spacing=spacing))
     mu = 1.3
     acp = sched.alphas_cumprod
 

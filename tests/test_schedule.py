@@ -27,6 +27,32 @@ def test_betas_and_timesteps():
     assert np.all(np.diff(ts) == -20)
 
 
+def test_trailing_timestep_spacing():
+    """timestep_spacing='trailing' (arXiv:2305.08891; diffusers grammar
+    round(arange(T, 0, -T/n)) - 1): starts at t = T-1, ends near 0, and
+    the denoise scan pairs each t with the actual next timestep (exact
+    for non-uniform spacings, -1 boundary at the end)."""
+    from rangeldm_tpu.pipelines.samplers import _scan_ts
+    s = Schedule.create(ScheduleConfig(timestep_spacing="trailing"))
+    ts = s.timesteps(20)
+    want = (np.round(np.arange(1000, 0, -50)) - 1).astype(np.int32)
+    np.testing.assert_array_equal(ts, want)
+    assert ts[0] == 999 and len(ts) == 20
+    # non-divisible count: still T-1 first, near-0 last, strictly falling
+    ts12 = s.timesteps(12)
+    assert ts12[0] == 999 and ts12[-1] < 1000 // 12
+    assert np.all(np.diff(ts12) < 0)
+    a, b = _scan_ts(s, 12)
+    np.testing.assert_array_equal(np.asarray(b)[:-1], np.asarray(a)[1:])
+    assert int(np.asarray(b)[-1]) == -1
+    # the full scan runs under the trailing grid for every method
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 2), jnp.float32)
+    for method in ("ddim", "ddpm", "dpmpp"):
+        out = denoise(lambda z, t: 0.1 * z, s, x, 6, rng, method=method)
+        assert np.isfinite(np.asarray(out)).all(), method
+
+
 def test_add_noise_golden():
     s = Schedule.create()
     _, acp = np_schedule()
