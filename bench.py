@@ -135,22 +135,21 @@ def bench_sampling() -> dict:
                              {"params": jax.random.PRNGKey(1)}, img,
                              rng=jax.random.PRNGKey(2))
 
-    # mesh-sharded inference over every local chip that divides the batch
-    # (the sample_ldm.py --mesh_devices auto policy); one chip -> plain jit
-    n = len(jax.local_devices())
-    while n > 1 and BATCH % n:
-        n -= 1
-    if n > 1:
+    # mesh-sharded inference over every local chip that divides the batch —
+    # the SAME policy object the CLIs ship (sample_ldm --mesh_devices auto),
+    # so the bench measures the program users run; one chip -> plain jit
+    from rangeldm_tpu.sample_ldm import resolve_sampling_mesh
+    mesh = resolve_sampling_mesh("auto", BATCH)
+    if mesh is not None:
         from rangeldm_tpu.parallel.mesh import (
-            data_sharding, make_mesh, replicate, replicated,
+            data_sharding, replicate, replicated,
         )
-        mesh = make_mesh(n)
         data_shd, repl = data_sharding(mesh, 4), replicated(mesh)
         unet_params = replicate(mesh, unet_params)
         vae_params = replicate(mesh, vae_params)
         jit_kw = {"out_shardings": data_shd}
     else:
-        mesh, data_shd, jit_kw = None, None, {}
+        data_shd, jit_kw = None, {}
         unet_params = jax.device_put(unet_params, jax.devices()[0])
         vae_params = jax.device_put(vae_params, jax.devices()[0])
 

@@ -145,6 +145,15 @@ class RangeImageDataset:
         if self.cfg.cache and os.path.exists(cache):
             with np.load(cache) as z:
                 img, mask, cw = z["jpg"], z["mask"], z["car_window_mask"]
+                # self-healing: cache_compress=False on a root whose caches
+                # were written compressed would otherwise be a silent no-op
+                # (the hit path never re-keys) — rewrite STORED once so the
+                # fast-read rate actually materializes from the next epoch
+                if (not self.cfg.cache_compress
+                        and z.zip.infolist()[0].compress_type != 0):
+                    tmp = cache + f".tmp-{os.getpid()}.npz"
+                    np.savez(tmp, jpg=img, mask=mask, car_window_mask=cw)
+                    os.replace(tmp, cache)
         else:
             pts = self._load_points(path)
             from rangeldm_tpu import native

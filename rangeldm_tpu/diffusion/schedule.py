@@ -131,7 +131,11 @@ class Schedule:
         n = num_inference_steps
         T = self.cfg.num_train_timesteps
         if self.cfg.timestep_spacing == "trailing":
-            ts = np.round(np.arange(T, 0, -T / n)) - 1
+            # [:n]: float arange overshoots for 62 of the 1000 possible n
+            # (e.g. n=61 yields 62 elements whose spurious tail rounds to
+            # t=-1, which would crash the fixed-length scan / NaN ddpm)
+            ts = (np.round(np.arange(T, 0, -T / n)) - 1)[:n]
+            assert len(ts) == n, (len(ts), n)
             return ts.astype(np.int32)
         ratio = T // n
         ts = (np.arange(n) * ratio).round()[::-1]

@@ -46,14 +46,8 @@ PUBLISHED = {
 }
 
 
-def pipe_image_size(pipe):
-    """(H, W) of the generated range image, derived from the loaded model
-    itself (UNet sample_size x VAE down factor) — the HF layout's meta
-    records nothing, and the diffusers loader's image_size default would
-    mis-size the 32-beam nuScenes model."""
-    f = pipe["vae_cfg"].down_factor if pipe["vae_cfg"] else 1
-    h, w = pipe["unet_cfg"].sample_size
-    return int(h) * f, int(w) * f
+from rangeldm_tpu.sample_ldm import pipe_image_size  # noqa: E402  (shared
+# with the sampling CLI so both derive (H, W) from the model itself)
 
 
 def detect_target(pipe) -> str:
@@ -164,6 +158,10 @@ def score_samples(out_dir: str, data_root: str, nus: bool, limit: int,
 
     sample_files = sorted(
         globmod.glob(os.path.join(out_dir, "*.bin")))[:limit]
+    if not sample_files:
+        raise RuntimeError(
+            f"no generated .bin samples in {out_dir} — sampling wrote "
+            f"nothing, or --skip_sampling pointed --out at the wrong dir")
     hist_fn = nuscenes_histogram if nus else kitti_histogram
     ref_files = (nuscenes_reference_files if nus else kitti_reference_files)(
         len(sample_files), root=data_root)
@@ -222,6 +220,9 @@ def main(argv=None):
                     help="score an existing --out dir (re-gate without "
                          "regenerating)")
     args = ap.parse_args(argv)
+    if args.gate_frd and not args.rangenet:
+        ap.error("--gate_frd needs --rangenet (the FRD criterion cannot "
+                 "be evaluated without the darknet53 checkpoint)")
 
     import jax.numpy as jnp
     from rangeldm_tpu.geometry import get_spec

@@ -93,6 +93,22 @@ class RangePipeline:
         from rangeldm_tpu.geometry import get_spec
         return get_spec(self.sensor)
 
+    def _ensure_replicated(self):
+        """Replicate the model params onto the mesh ONCE, storing them back
+        into the pipe dict: every cached sampler variant then shares the
+        same device buffers (device_put on an already-identically-sharded
+        array is a no-op), instead of each (batch, steps, method) cache
+        miss holding its own replicated copy of the UNet+VAE weights in
+        HBM."""
+        if self.mesh is None or self._p.get("_replicated"):
+            return
+        from rangeldm_tpu.parallel.mesh import replicate
+        self._p["unet_params"] = replicate(self.mesh, self._p["unet_params"])
+        if self._p.get("vae_params") is not None:
+            self._p["vae_params"] = replicate(self.mesh,
+                                              self._p["vae_params"])
+        self._p["_replicated"] = True
+
     # -- unconditional generation --------------------------------------
     def __call__(self, batch_size: int = 1, num_inference_steps: int = 50,
                  seed: int = 0, rng: Optional[jax.Array] = None,
@@ -108,6 +124,7 @@ class RangePipeline:
                              ".inpaint() instead of __call__")
         if rng is None:
             rng = jax.random.PRNGKey(seed)
+        self._ensure_replicated()
         if not final_only:
             if not self.is_latent:
                 raise ValueError("final_only=False needs a latent pipeline")
@@ -155,6 +172,7 @@ class RangePipeline:
                      rng: jax.Array, factor: int,
                      method: str = "ddim") -> np.ndarray:
         from rangeldm_tpu.sample_conditional import build_conditional_sampler
+        self._ensure_replicated()
         bs = next(iter(cond_inputs.values())).shape[0]
         key = (mode, bs, num_steps, factor, method)
         fn = self._fns.get(key)

@@ -159,6 +159,16 @@ def load_diffusers_pipeline(path: str, dtype=jnp.bfloat16,
                 vae_params=vae_params, schedule=sched)
 
 
+def pipe_image_size(pipe):
+    """(H, W) of the generated range image, derived from the loaded model
+    itself (UNet sample_size x VAE down factor) — authoritative for every
+    layout: the HF loaders record only a default `image_size` in meta
+    (64x1024), which would mis-size the 32-beam nuScenes checkpoint."""
+    f = pipe["vae_cfg"].down_factor if pipe["vae_cfg"] else 1
+    h, w = pipe["unet_cfg"].sample_size
+    return int(h) * f, int(w) * f
+
+
 def pipe_pos_encoding(pipe) -> bool:
     """The ONE place the pos-encoding flag of a loaded pipeline is decided
     (ADVICE r3: api.py and sample_conditional.py used different defaults).
@@ -351,8 +361,7 @@ def main():
     mesh = resolve_sampling_mesh(args.mesh_devices, args.batch_size)
     sample = build_sampler(pipe, args.batch_size, args.steps, args.method,
                            eta=args.eta, mesh=mesh)
-    spec = adapt_spec_to_model(get_spec(args.sensor),
-                               pipe["meta"].get("image_size", [64, 1024]))
+    spec = adapt_spec_to_model(get_spec(args.sensor), pipe_image_size(pipe))
 
     # per-process sharding of the sample range (ldm/inference.py:159, 174)
     proc, nproc = jax.process_index(), jax.process_count()

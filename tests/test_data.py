@@ -74,6 +74,28 @@ def test_cache_uncompressed_option(kitti_tree):
     np.testing.assert_array_equal(a, c)
 
 
+def test_cache_compress_false_heals_existing_compressed_cache(kitti_tree):
+    """Flipping cache_compress: false on a root that ALREADY has
+    compressed caches must not be a silent no-op (the cache-hit path
+    never re-keys): the first read rewrites the entry STORED in place, so
+    the fast-read rate materializes without a manual cache wipe."""
+    import os
+    import zipfile
+    comp = RangeImageDataset(DatasetConfig(root=kitti_tree), train=True)
+    a = comp[1]["jpg"]
+    cache = comp._cache_path(comp.files[1])
+    with zipfile.ZipFile(cache) as z:
+        assert any(i.compress_type != zipfile.ZIP_STORED
+                   for i in z.infolist())
+    fast = RangeImageDataset(DatasetConfig(root=kitti_tree,
+                                           cache_compress=False), train=True)
+    np.testing.assert_array_equal(fast[1]["jpg"], a)   # heal-on-read
+    with zipfile.ZipFile(cache) as z:
+        assert all(i.compress_type == zipfile.ZIP_STORED
+                   for i in z.infolist())
+    np.testing.assert_array_equal(fast[1]["jpg"], a)   # post-heal read
+
+
 def test_cache_keyed_by_projection_spec(kitti_tree):
     """Different projection settings over the same root must use different
     cache files (round-3 review: the reference keys its .pth caches by

@@ -38,10 +38,13 @@ def test_trailing_timestep_spacing():
     want = (np.round(np.arange(1000, 0, -50)) - 1).astype(np.int32)
     np.testing.assert_array_equal(ts, want)
     assert ts[0] == 999 and len(ts) == 20
-    # non-divisible count: still T-1 first, near-0 last, strictly falling
-    ts12 = s.timesteps(12)
-    assert ts12[0] == 999 and ts12[-1] < 1000 // 12
-    assert np.all(np.diff(ts12) < 0)
+    # non-divisible count: still T-1 first, strictly falling, EXACTLY n
+    # entries — the float arange overshoots for 62 of the 1000 possible
+    # step counts (n=61 etc.) and the spurious t=-1 tail must be cut
+    for n in (12, 61, 103, 122):
+        tsn = s.timesteps(n)
+        assert len(tsn) == n and tsn[0] == 999 and tsn[-1] >= 0, (n, tsn)
+        assert np.all(np.diff(tsn) < 0)
     a, b = _scan_ts(s, 12)
     np.testing.assert_array_equal(np.asarray(b)[:-1], np.asarray(a)[1:])
     assert int(np.asarray(b)[-1]) == -1
