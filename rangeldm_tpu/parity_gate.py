@@ -51,12 +51,15 @@ from rangeldm_tpu.sample_ldm import pipe_image_size  # noqa: E402  (shared
 
 
 def detect_target(pipe) -> str:
-    """Which released model a loaded pipeline is, from its own shape: a
-    32-beam image is the nuScenes model, no VAE is the pixel-space RangeDM,
-    else the flagship KITTI-360 RangeLDM (models/zoo.py grammars)."""
-    h, _ = pipe_image_size(pipe)
-    if pipe["vae"] is None and h != 32:
+    """Which released model a loaded pipeline is, from its own
+    architecture: no VAE -> the pixel-space RangeDM (the only released
+    pixel model; family beats beam count, so a hypothetical 32-beam
+    pixel model is NOT gated against the latent nuScenes row), a 32-beam
+    image -> the nuScenes RangeLDM, else the flagship KITTI-360 RangeLDM
+    (models/zoo.py grammars). --target overrides."""
+    if pipe["vae"] is None:
         return "rangedm_kitti360"
+    h, _ = pipe_image_size(pipe)
     return "rangeldm_nuscenes" if h == 32 else "rangeldm_kitti360"
 
 

@@ -28,10 +28,14 @@ import numpy as np
 
 
 class RangePipeline:
-    def __init__(self, pipe: dict, sensor: str = "kitti360",
+    def __init__(self, pipe: dict, sensor: Optional[str] = None,
                  dtype=jnp.bfloat16, spec=None, mesh=None):
         self._p = pipe
-        self.sensor = sensor
+        # sensor=None defers to the artifact's own record (train_ldm
+        # save_final writes meta['sensor']), falling back to kitti360 for
+        # hand-built pipes and released HF dirs that predate the key
+        self.sensor = sensor or (pipe.get("meta") or {}).get(
+            "sensor", "kitti360")
         self.dtype = dtype
         self._spec = spec          # explicit SensorSpec override
         self.mesh = mesh           # shard every sample batch over this mesh
@@ -39,11 +43,13 @@ class RangePipeline:
 
     # -- construction ---------------------------------------------------
     @classmethod
-    def from_pretrained(cls, path: str, sensor: str = "kitti360",
+    def from_pretrained(cls, path: str, sensor: Optional[str] = None,
                         dtype=jnp.bfloat16, use_ema: bool = True,
                         spec=None, mesh=None) -> "RangePipeline":
-        """`spec` overrides the registry sensor lookup with an explicit
-        SensorSpec (custom beam tables / reduced-resolution models).
+        """`sensor` defaults to the artifact's own meta['sensor'] record
+        (kitti360 when absent); `spec` overrides the registry sensor
+        lookup with an explicit SensorSpec (custom beam tables /
+        reduced-resolution models).
 
         `mesh` (single-axis jax.sharding.Mesh, or the string "auto" for all
         local chips) makes every generation call a mesh-sharded program:

@@ -344,7 +344,10 @@ def main():
                          "first-step SNR mismatch; default: the "
                          "pipeline's own, 'leading' for the released "
                          "configs)")
-    ap.add_argument("--sensor", default="kitti360")
+    ap.add_argument("--sensor", default=None,
+                    help="back-projection geometry (default: the "
+                         "artifact's own meta['sensor'] record, else "
+                         "kitti360)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mesh_devices", default="auto",
                     help="local chips to shard each sample batch over: "
@@ -361,7 +364,8 @@ def main():
     mesh = resolve_sampling_mesh(args.mesh_devices, args.batch_size)
     sample = build_sampler(pipe, args.batch_size, args.steps, args.method,
                            eta=args.eta, mesh=mesh)
-    spec = adapt_spec_to_model(get_spec(args.sensor), pipe_image_size(pipe))
+    sensor = args.sensor or pipe["meta"].get("sensor", "kitti360")
+    spec = adapt_spec_to_model(get_spec(sensor), pipe_image_size(pipe))
 
     # per-process sharding of the sample range (ldm/inference.py:159, 174)
     proc, nproc = jax.process_index(), jax.process_count()

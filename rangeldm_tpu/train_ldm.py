@@ -443,7 +443,14 @@ class LdmTrainer:
             vae_cfg=self.spec.vae, schedule_cfg=self.schedule.cfg,
             extra={"model": self.spec.name,
                    "pos_encoding": self.train_cfg.pos_encoding,
-                   "image_size": list(self.spec.image_size)})
+                   "image_size": list(self.spec.image_size),
+                   # the sensor geometry the model was trained against —
+                   # RangePipeline.from_pretrained uses it as the default
+                   # back-projection spec (the reference keeps this in the
+                   # user's head; a nuScenes checkpoint projected with
+                   # kitti360 tables silently produces garbage clouds)
+                   "sensor": self.cfg.get("data", {}).get(
+                       "sensor", self.spec.sensor)})
         return path
 
 

@@ -146,6 +146,55 @@ def test_dpmpp_second_order_convergence(rng):
     assert e_d500 < 0.2 * e_e500, (e_d500, e_e500)
 
 
+def test_dpmpp_numpy_twin_clip_sample(rng):
+    """clip_sample=True: the clipped-x0 interaction with the multistep
+    D1 extrapolation (prev_x0 must be the CLIPPED prediction) against the
+    twin. Early high-noise steps naturally drive |x0| >> 1, so the clip
+    is active on this trajectory."""
+    from rangeldm_tpu.diffusion.schedule import ScheduleConfig
+    sched = Schedule.create(ScheduleConfig(clip_sample=True))
+    n_steps = 12
+    shape = (3, 4, 6, 2)
+    x_init = np.asarray(2.0 * rng.standard_normal(shape), np.float32)
+
+    def eps_np(x, t):
+        return np.tanh(x) * (0.5 + 0.3 * np.sin(t / 37.0)) + 0.05
+
+    def eps_jax(x, t):
+        return jnp.tanh(x) * (0.5 + 0.3 * jnp.sin(t / 37.0)) + 0.05
+
+    got = np.asarray(denoise(eps_jax, sched, jnp.asarray(x_init), n_steps,
+                             jax.random.PRNGKey(0), method="dpmpp"))
+    want = _np_dpmpp_2m(eps_np, np.asarray(sched.betas),
+                        sched.timesteps(n_steps), x_init, clip_sample=True)
+    unclipped = _np_dpmpp_2m(eps_np, np.asarray(sched.betas),
+                             sched.timesteps(n_steps), x_init)
+    assert np.abs(want - unclipped).max() > 1e-3   # the clip was active
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_trailing_spacing_numeric(rng):
+    """Solver accuracy on the trailing grid (the claim-neutral option is
+    still numerically pinned): on the broad world dpmpp-20 under trailing
+    beats leading ~13x (measured 6.5e-3 vs 8.3e-2 — leading's large
+    first-step lambda gap hurts the multistep extrapolation here), and
+    n=61 exercises the NON-uniform trailing grid (the float-arange
+    overshoot count) where only exact next-timestep (t, t_prev) pairing
+    is correct — measured 1.6e-3, ~11x better than ddim on the same
+    grid."""
+    e_lead = _gaussian_world_err(np.random.default_rng(1), 0.7,
+                                 "dpmpp", 20, "leading")
+    e_trail = _gaussian_world_err(np.random.default_rng(1), 0.7,
+                                  "dpmpp", 20, "trailing")
+    assert e_trail < 0.25 * e_lead, (e_trail, e_lead)
+    e61 = _gaussian_world_err(np.random.default_rng(1), 0.7,
+                              "dpmpp", 61, "trailing")
+    e61_ddim = _gaussian_world_err(np.random.default_rng(1), 0.7,
+                                   "ddim", 61, "trailing")
+    assert e61 < 0.25 * e61_ddim, (e61, e61_ddim)
+    assert e61 < e_trail, (e61, e_trail)           # more steps, less error
+
+
 def test_dpmpp_conditional_pipeline_api(rng):
     """method='dpmpp' through the conditional user API: RangePipeline
     .upsample -> _cond_sample -> build_conditional_sampler -> the dpmpp

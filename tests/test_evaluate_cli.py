@@ -26,9 +26,12 @@ def test_evaluate_mmd_jsd(tmp_path, rng, monkeypatch):
     from rangeldm_tpu.evaluate import main
     results = main(["--exp", str(gen), "--mmd", "--jsd"])
     assert 0 <= results["mmd"] < 2.0
-    assert 0 <= results["jsd"] <= 1.0
-    # same distribution -> small-ish numbers; different seeds still same
-    # generator, so mmd should be near zero
+    # same distribution -> small numbers. JSD is bounded in [0, 1] by
+    # construction so an upper bound of 1 would be tautological; the
+    # measured same-generator value here is ~0.32 (4-vs-6 small-sample
+    # aggregate-histogram floor), while swapped axes / broken
+    # normalization saturate toward 1.0 — gate well below that
+    assert 0 <= results["jsd"] < 0.5, results["jsd"]
     assert results["mmd"] < 0.05
 
 

@@ -11,9 +11,6 @@ synthetic world of tests/test_quality_gate_e2e.py, driven through the real
 trainers (VaeTrainer.fit/save_final -> LdmTrainer with vae_checkpoint ->
 MomentsDataset latent cache -> the saved pipeline -> build_sampler)."""
 
-import dataclasses
-import os
-
 import numpy as np
 import pytest
 import jax
@@ -137,11 +134,12 @@ def test_vae_then_ldm_then_metrics_one_chain(rng, tmp_path):
         "vae_checkpoint": vae_artifact,
     }), mesh=mesh1)
     # the trainer must hold the TRAINED weights, not a random re-init —
-    # this is the artifact handoff the chain exists to prove
+    # this is the artifact handoff the chain exists to prove; EVERY leaf
+    # (a partial restore that gets only some layers right must fail here)
     got = jax.device_get(tr.vae_params)["params"]
     want = jax.device_get(vt.state.gen_params["vae"])
-    np.testing.assert_array_equal(
-        np.asarray(jax.tree.leaves(got)[0]), np.asarray(jax.tree.leaves(want)[0]))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), got, want)
 
     params_untrained = jax.device_get(tr.state.params)
 
@@ -204,6 +202,12 @@ def test_vae_then_ldm_then_metrics_one_chain(rng, tmp_path):
 
     assert empties_t <= 3, empties_t
     assert np.isfinite([mmd_t, jsd_t]).all()
+    # the measured hierarchy the gates are calibrated against must hold
+    # (floor ~9.5e-4 << VAE ceiling ~1.1e-2 < baseline ~3e-2); a metric
+    # regression inflating the floor would otherwise silently recalibrate
+    # every gate below
+    assert floor_mmd < 0.3 * mmd_ceiling, (floor_mmd, mmd_ceiling)
+    assert mmd_ceiling < mmd_u, (mmd_ceiling, mmd_u)
     # the chain must improve the reference metrics...
     assert mmd_t < mmd_u, (mmd_t, mmd_u)
     assert jsd_t < 0.995 * jsd_u, (jsd_t, jsd_u)

@@ -177,10 +177,12 @@ def test_train_ldm_nuscenes_config(monkeypatch, tmp_path, nuscenes_tree):
         recs = [json.loads(l) for l in f]
     assert recs and np.isfinite(recs[-1]["loss"])
     assert os.path.exists(os.path.join(out, "pipeline", "model_index.json"))
-    # the shipped 50/50 normalization reached the dataset
+    # the artifact records WHICH sensor geometry it was trained against
+    # (no .get default — a dropped/mis-propagated sensor must fail here;
+    # RangePipeline.from_pretrained back-projects with this record)
     with open(os.path.join(out, "pipeline", "model_index.json")) as f:
         meta = json.load(f)
-    assert meta.get("sensor", "nuscenes") == "nuscenes"
+    assert meta["sensor"] == "nuscenes"
 
 
 @pytest.mark.heavy
@@ -203,7 +205,9 @@ def test_train_vae_nuscenes_config(monkeypatch, tmp_path, nuscenes_tree):
     shipped = os.path.join(os.path.dirname(mod.__file__),
                            "configs", "vae_nuscenes.yaml")
     _run_cli(monkeypatch, mod, [shipped, opath])
-    assert os.path.exists(os.path.join(out, "train_log.jsonl"))
+    with open(os.path.join(out, "train_log.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert recs and np.isfinite(recs[-1]["total_loss"])
     assert os.path.exists(os.path.join(out, "vae_sgm.safetensors"))
     with open(os.path.join(out, "val_metrics.json")) as f:
         val = json.load(f)

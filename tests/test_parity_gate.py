@@ -97,8 +97,10 @@ def test_parity_gate_end_to_end(tmp_path, rng, kitti_heldout):
         report2 = json.load(f)
     assert report2["pass"] is True
     assert report2["checks"]["mmd"]["ok"] and report2["checks"]["jsd"]["ok"]
-    # deterministic scoring: same samples -> same scores
+    # deterministic scoring: same samples -> same scores (both metrics —
+    # an unordered glob feeding the histograms would break either)
     assert report2["scores"]["mmd"] == report["scores"]["mmd"]
+    assert report2["scores"]["jsd"] == report["scores"]["jsd"]
 
 
 def test_detect_target_shapes():
@@ -119,5 +121,8 @@ def test_detect_target_shapes():
     assert parity_gate.detect_target(fake(64, True)) == "rangeldm_kitti360"
     assert parity_gate.detect_target(fake(64, False)) == "rangedm_kitti360"
     assert parity_gate.detect_target(fake(32, True)) == "rangeldm_nuscenes"
+    # family beats beam count: a (hypothetical) 32-beam pixel model must
+    # gate against the pixel row, not the latent nuScenes row
+    assert parity_gate.detect_target(fake(32, False)) == "rangedm_kitti360"
     assert parity_gate.pipe_image_size(fake(64, True)) == (64, 1024)
     assert parity_gate.pipe_image_size(fake(64, False)) == (64, 1024)

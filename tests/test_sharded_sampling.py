@@ -112,6 +112,13 @@ def test_range_pipeline_mesh_parity():
     a = base(batch_size=8, num_inference_steps=3, seed=5)
     b = shard(batch_size=8, num_inference_steps=3, seed=5)
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+    # parity alone cannot prove the mesh was USED (outputs are
+    # layout-invariant by design, and the pipeline returns numpy) — the
+    # mesh path must have committed the params onto the mesh, once
+    leaf = jax.tree.leaves(shard._p["unet_params"])[0]
+    assert leaf.sharding.mesh.shape == mesh.shape, leaf.sharding
+    assert shard._p.get("_replicated") is True
+    assert "_replicated" not in base._p
     # trajectory path also runs mesh-sharded
     img, traj = shard(batch_size=8, num_inference_steps=3, seed=5,
                       final_only=False)
