@@ -15,8 +15,13 @@ Layout notes (why the kernel takes (N, D, T) transposed inputs):
   * one grid step per (batch*head) is 512 tiny steps whose fixed overhead
     dominates; we process `group` heads per step with an unrolled loop.
 
-Numerics match models/layers.attention_mh exactly (f32 softmax, scale
-d^-0.5); verified in tests/test_flash_attention.py.
+Numerics: the softmax MAX/logit arithmetic is f32, but the exponentials,
+the PV matmul, and the appended-ones-row denominator run in the COMPUTE
+dtype (e is cast to v_ref.dtype before the matmul) — so under bf16 the
+probabilities/denominator are bf16, not f32. f32-in-f32-out matches
+models/layers.attention_mh to f32 tolerances (tests/test_flash_attention.py);
+bf16 runs should be compared at bf16 tolerances (the UNet's parity tests
+do — models/unet.py notes the same deviation).
 """
 
 from __future__ import annotations

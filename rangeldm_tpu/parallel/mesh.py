@@ -62,3 +62,15 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def to_local_np(x) -> np.ndarray:
+    """Host copy of an array that may be sharded across processes: a
+    multi-host global batch spans non-addressable devices (device_get
+    would raise), so fall back to this process's addressable shards —
+    each process sees its own slice, as the reference's per-rank dumps
+    would (accelerate gather is never used for image logging)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards, key=lambda s: s.index)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+    return np.asarray(x)

@@ -46,18 +46,15 @@ except ImportError:  # pragma: no cover
 
 def _conv(x, p, axis, strides=(1, 1), h_pad=(1, 1),
           w_halo: Optional[Tuple[int, int]] = None):
-    """Shard-local CircularConv: halo exchange for k>1, plain for 1x1."""
+    """Shard-local CircularConv: halo exchange for k>1 (the shared
+    spatial.halo_conv_local body), plain einsum for 1x1."""
     k = p["kernel"]
     if k.shape[0] == 1 and k.shape[1] == 1:
         y = jnp.einsum("bhwc,cd->bhwd", x, k[0, 0])
         return y + p["bias"]
-    if w_halo is None:
-        w_halo = (1, 1)
-    xs = halo_exchange_w(x, w_halo[0], w_halo[1], axis)
-    y = jax.lax.conv_general_dilated(
-        xs, k, window_strides=strides, padding=(h_pad, (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + p["bias"]
+    from rangeldm_tpu.parallel.spatial import halo_conv_local
+    return halo_conv_local(x, k, p["bias"], axis, strides, h_pad,
+                           w_halo if w_halo is not None else (1, 1))
 
 
 def _gn(x, p, axis, groups: int = 32, eps: float = 1e-6):

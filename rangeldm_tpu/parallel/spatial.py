@@ -51,6 +51,24 @@ def halo_exchange_w(x: jnp.ndarray, lo: int, hi: int,
     return jnp.concatenate(parts, axis=2)
 
 
+def halo_conv_local(xs: jnp.ndarray, kernel: jnp.ndarray, bias,
+                    axis: str, strides: Tuple[int, int] = (1, 1),
+                    h_pad: Tuple[int, int] = (1, 1),
+                    w_halo: Tuple[int, int] = (1, 1)) -> jnp.ndarray:
+    """Shard-local body of the halo-exchange circular conv: the one copy
+    of {halo exchange, zero-padded-H conv, bias} that both the standalone
+    collective below and parallel/sharded_vae's full-model forwards use
+    (padding/stride fixes happen exactly once)."""
+    xs = halo_exchange_w(xs, w_halo[0], w_halo[1], axis)
+    y = jax.lax.conv_general_dilated(
+        xs, kernel, window_strides=strides,
+        padding=(h_pad, (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def sharded_circular_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
                             bias: jnp.ndarray | None,
                             mesh: Mesh, axis: str = "sp",
@@ -64,14 +82,7 @@ def sharded_circular_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
     boundaries land on output pixels.
     """
     def local(xs, k, b):
-        xs = halo_exchange_w(xs, w_halo[0], w_halo[1], axis)
-        y = jax.lax.conv_general_dilated(
-            xs, k, window_strides=strides,
-            padding=(h_pad, (0, 0)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        if b is not None:
-            y = y + b
-        return y
+        return halo_conv_local(xs, k, b, axis, strides, h_pad, w_halo)
 
     return shard_map(
         local, mesh=mesh,

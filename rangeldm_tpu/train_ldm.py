@@ -302,14 +302,8 @@ class LdmTrainer:
 
     @staticmethod
     def _to_local_np(x) -> np.ndarray:
-        """Host copy of an array that may be sharded across processes: a
-        multi-host global batch spans non-addressable devices, so fall back
-        to this process's addressable shards (each process dumps from its
-        own slice, as the reference's per-rank sampling would)."""
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            shards = sorted(x.addressable_shards, key=lambda s: s.index)
-            return np.concatenate([np.asarray(s.data) for s in shards])
-        return np.asarray(x)
+        from rangeldm_tpu.parallel.mesh import to_local_np
+        return to_local_np(x)
 
     def _dump_conditional(self, step: int, cond_batch) -> str:
         """Write result/target/input grids from the held train batch's
@@ -394,7 +388,7 @@ class LdmTrainer:
             self.ckpt.save(int(self.state.step), jax.device_get(self.state))
 
         try:
-            with emergency_checkpoint(save_now):
+            with emergency_checkpoint(save_now) as melk:
                 step = step0
                 for batch in batches:
                     batch = {k: v for k, v in batch.items()
@@ -402,6 +396,7 @@ class LdmTrainer:
                                       "masked_image", "inpainting_mask")}
                     batch = shard_batch(self.mesh, batch)
                     self.state, metrics = self.train_step(self.state, batch, rng)
+                    melk()   # deferred SIGUSR1 save, at a state-consistent point
                     # host-side step counter: int(self.state.step) every
                     # iteration would block on the just-dispatched step and
                     # serialize dispatch with device compute over the
@@ -487,10 +482,15 @@ def main():
         from rangeldm_tpu.training.latent_cache import (
             MomentsDataset, params_fingerprint, precompute_moments,
         )
+        # the tag carries the encode COMPUTE dtype too: identical params
+        # encoded under bf16 vs f32 give different moments, and toggling
+        # mixed_precision must not silently reuse the other regime's cache
         moments = precompute_moments(
             trainer.vae, trainer.vae_params, ds, batch_size=bs,
             out_path=os.path.join(trainer.out_dir, "latent_moments.npy"),
-            tag=params_fingerprint(trainer.vae_params), log=print)
+            tag=(f"{params_fingerprint(trainer.vae_params)}"
+                 f":{np.dtype(trainer.vae.dtype).name}"),
+            log=print)
         loader = RangeLoader(MomentsDataset(moments), batch_size=bs,
                              shard_by_process=jax.process_count() > 1)
     else:

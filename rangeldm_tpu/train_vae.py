@@ -232,21 +232,26 @@ class VaeTrainer:
             return xrec
 
         try:
-            with emergency_checkpoint(save_now):
+            with emergency_checkpoint(save_now) as melk:
                 step = int(self.state.step)
                 for batch in batches:
                     x = batch["jpg"] if isinstance(batch, dict) else batch
                     x = shard_batch(self.mesh, x)
                     self.state, gm = self.gen_step(self.state, x, rng)
                     self.state, dm = self.disc_step(self.state, x, rng)
+                    melk()   # deferred SIGUSR1 save, at a state-consistent point
                     # host-side counter (see train_ldm.fit): avoid a
                     # device sync on every just-dispatched step
                     step += 1
                     if image_logger is not None and image_logger.should_log(step):
+                        from rangeldm_tpu.parallel.mesh import to_local_np
                         xrec = _recon(self.state.gen_params["vae"], x,
                                       jax.random.PRNGKey(step))
-                        image_logger.log(step, inputs=jax.device_get(x),
-                                         reconstructions=jax.device_get(xrec))
+                        # multi-host: device_get on the global batch would
+                        # raise (non-addressable shards); dump this
+                        # process's slice like train_ldm's dumps do
+                        image_logger.log(step, inputs=to_local_np(x),
+                                         reconstructions=to_local_np(xrec))
                     if step % log_every == 0 or (max_steps and step >= max_steps):
                         last = {k: float(v) for k, v in {**gm, **dm}.items()}
                         last["step"] = step

@@ -50,22 +50,30 @@ def save_pipeline(directory: str, *, unet_params, unet_cfg,
                   vae_params=None, vae_cfg=None, ema_params=None,
                   schedule_cfg=None, extra: Optional[Dict] = None) -> None:
     """Final artifact directory: {unet, unet_ema, vae}/ orbax trees +
-    config.json per component (the save_pretrained equivalent)."""
+    config.json per component (the save_pretrained equivalent).
+
+    The artifact is built in a sibling tmp dir and swapped in whole: the
+    previous pipeline survives any crash/preemption until the replacement
+    is fully committed (destroy-then-write would leave config.json with
+    no params as the ONLY copy of a finished run), and a re-save never
+    mixes generations (a fresh dir cannot keep a stale unet_ema/ from an
+    earlier save that this one omits)."""
     import dataclasses
-    os.makedirs(directory, exist_ok=True)
+    import shutil
+    parent = os.path.dirname(os.path.abspath(directory)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.abspath(directory) + f".tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
     ckpt = ocp.StandardCheckpointer()
 
     def dump(name, params, cfg):
-        path = os.path.join(directory, name)
-        params_path = os.path.abspath(path) + "/params"
-        if os.path.exists(params_path):
-            # re-running save_final after resume must refresh the artifact;
-            # orbax refuses to overwrite an existing path
-            import shutil
-            shutil.rmtree(params_path)
-        ckpt.save(params_path, jax.tree.map(np.asarray, params))
+        os.makedirs(os.path.join(tmp, name), exist_ok=True)
+        ckpt.save(os.path.join(tmp, name, "params"),
+                  jax.tree.map(np.asarray, params))
         if cfg is not None:
-            with open(os.path.join(directory, name, "config.json"), "w") as f:
+            with open(os.path.join(tmp, name, "config.json"), "w") as f:
                 json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
     dump("unet", unet_params, unet_cfg)
@@ -75,9 +83,17 @@ def save_pipeline(directory: str, *, unet_params, unet_cfg,
         dump("vae", vae_params, vae_cfg)
     meta = {"schedule": dataclasses.asdict(schedule_cfg) if schedule_cfg else None}
     meta.update(extra or {})
-    with open(os.path.join(directory, "model_index.json"), "w") as f:
+    with open(os.path.join(tmp, "model_index.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
     ckpt.wait_until_finished()
+
+    old = None
+    if os.path.exists(directory):
+        old = os.path.abspath(directory) + f".old-{os.getpid()}"
+        os.rename(directory, old)
+    os.rename(tmp, directory)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def load_pipeline_component(directory: str, name: str, template) -> Any:

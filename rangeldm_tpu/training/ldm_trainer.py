@@ -100,6 +100,24 @@ def make_ldm_train_step(unet_apply: Callable,
                 latents = latents * cfg.pixel_scaling
         return latents
 
+    def apply_updates_and_ema(state: TrainState, grads, loss):
+        """Shared epilogue of both train-step variants: optimizer update +
+        EMA + step increment. EMA decay follows the diffusers convention
+        (get_decay uses optimization_step - 1 == the PRE-increment
+        counter, so the first update copies the params into the shadow
+        instead of blending with the random init)."""
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = state.ema_params
+        if ema_params is not None:
+            decay = power_decay(state.step, cfg.ema_inv_gamma, cfg.ema_power,
+                                max_decay=cfg.ema_max_decay)
+            ema_params = ema_update(ema_params, params, decay)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, ema_params=ema_params)
+        return new_state, {"loss": loss,
+                           "grad_norm": optax.global_norm(grads)}
+
     def train_step(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         rng_vae, rng_cond, rng_loss = jax.random.split(rng, 3)
@@ -115,19 +133,7 @@ def make_ldm_train_step(unet_apply: Callable,
         cond = cond_fn(batch, rng_cond) if cond_fn is not None else None
         loss, grads = jax.value_and_grad(loss_fn)(state.params, latents, cond,
                                                   rng_loss)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        step = state.step + 1
-        ema_params = state.ema_params
-        if ema_params is not None:
-            decay = power_decay(step, cfg.ema_inv_gamma, cfg.ema_power,
-                                max_decay=cfg.ema_max_decay)
-            ema_params = ema_update(ema_params, params, decay)
-        new_state = state.replace(step=step, params=params,
-                                  opt_state=opt_state, ema_params=ema_params)
-        metrics = {"loss": loss,
-                   "grad_norm": optax.global_norm(grads)}
-        return new_state, metrics
+        return apply_updates_and_ema(state, grads, loss)
 
     if cfg.grad_accum_steps > 1:
         def train_step(state, batch, rng):  # noqa: F811
@@ -165,16 +171,6 @@ def make_ldm_train_step(unet_apply: Callable,
                                             (latents, cond, keys))
             grads = jax.tree.map(lambda g: g / k, grads)
             loss = loss / k
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            step = state.step + 1
-            ema_params = state.ema_params
-            if ema_params is not None:
-                decay = power_decay(step, cfg.ema_inv_gamma, cfg.ema_power,
-                                    max_decay=cfg.ema_max_decay)
-                ema_params = ema_update(ema_params, params, decay)
-            return state.replace(step=step, params=params, opt_state=opt_state,
-                                 ema_params=ema_params), {
-                "loss": loss, "grad_norm": optax.global_norm(grads)}
+            return apply_updates_and_ema(state, grads, loss)
 
     return train_step

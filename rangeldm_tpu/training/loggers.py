@@ -30,7 +30,21 @@ from typing import Callable, Dict, Optional
 class ScalarLogger:
     def __init__(self, out_dir: str, jsonl: str = "train_log.jsonl",
                  tensorboard: bool = True, csv: bool = False,
-                 wandb: bool = False, wandb_project: str = "rangeldm_tpu"):
+                 wandb: bool = False, wandb_project: str = "rangeldm_tpu",
+                 primary: Optional[bool] = None):
+        # multi-host: exactly one process writes the scalar sinks —
+        # output_dir is normally shared storage, and N appenders to one
+        # jsonl/csv (the csv path truncates-and-rewrites on new keys) or
+        # two tensorboardX writers on one dir corrupt the logs. `primary`
+        # defaults to process 0 (the accelerator.is_main_process gate of
+        # ldm/train_unconditional.py's logging).
+        if primary is None:
+            import jax
+            primary = jax.process_index() == 0
+        self.primary = bool(primary)
+        if not self.primary:
+            self.tb = self.wandb = self.csv_path = self.jsonl_path = None
+            return
         os.makedirs(out_dir, exist_ok=True)
         self.jsonl_path = os.path.join(out_dir, jsonl)
         self.tb = None
@@ -87,6 +101,8 @@ class ScalarLogger:
                 csv_mod.DictWriter(f, fieldnames=self._csv_keys).writerow(rec)
 
     def log(self, step: int, scalars: Dict[str, float]) -> None:
+        if not self.primary:
+            return
         rec = {k: float(v) for k, v in scalars.items()}
         rec["step"] = int(step)
         with open(self.jsonl_path, "a") as f:
@@ -112,24 +128,44 @@ class ScalarLogger:
 @contextlib.contextmanager
 def emergency_checkpoint(save_fn: Callable[[], None],
                          signum: Optional[int] = signal.SIGUSR1):
-    """Run `save_fn` on SIGUSR1 and on any exception escaping the block.
+    """Deferred "melk" (vae/main.py:254-261): SIGUSR1 only SETS a flag; the
+    yielded poll callable runs `save_fn` at the caller's next step
+    boundary. Running the save inside the handler itself would be unsafe
+    with donated train states — between dispatching
+    `train_step(state, ...)` (donate_argnums=0) and rebinding the name,
+    `state` points at deleted device buffers, so a handler-time
+    device_get raises, escapes the handler at an arbitrary bytecode, and
+    kills the run WITHOUT a checkpoint; it could also reenter a
+    non-reentrant in-progress orbax save. Preemption grace windows
+    (30-120 s) dwarf a step (~ms), so boundary-deferral loses nothing.
 
+    Any exception escaping the block still triggers a best-effort save.
     Signal handlers can only be installed from the main thread; elsewhere
-    (e.g. pytest workers) the signal half is skipped silently and only the
-    on-exception save remains.
+    (e.g. pytest workers) the signal half is skipped silently and only
+    the on-exception save remains.
     """
+    requested = threading.Event()
+
+    def poll() -> bool:
+        """Call once per training step; saves if a signal arrived."""
+        if requested.is_set():
+            requested.clear()
+            save_fn()
+            return True
+        return False
+
     installed = False
     old = None
     if signum is not None and threading.current_thread() is threading.main_thread():
         def handler(_sig, _frame):
-            save_fn()
+            requested.set()
         try:
             old = signal.signal(signum, handler)
             installed = True
         except (ValueError, OSError):
             installed = False
     try:
-        yield
+        yield poll
     except BaseException:
         try:
             save_fn()

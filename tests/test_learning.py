@@ -17,6 +17,61 @@ from rangeldm_tpu.training.train_state import TrainState
 import pytest
 
 
+def test_power_decay_matches_diffusers_convention():
+    """Twin of diffusers EMAModel.get_decay with use_ema_warmup
+    (ldm/train_unconditional.py:320-329): decay is computed from
+    optimization_step - 1, so the FIRST update has decay 0.0 — the EMA
+    shadow starts as a copy of the params, not a blend with the random
+    init. The trainers pass the pre-increment step counter."""
+    from rangeldm_tpu.training.ema import power_decay
+
+    def diffusers_decay(opt_step, inv_gamma=1.0, power=0.75,
+                        max_decay=0.9999):
+        step = max(0, opt_step - 1)
+        if step <= 0:
+            return 0.0
+        return float(np.clip(1.0 - (1.0 + step / inv_gamma) ** -power,
+                             0.0, max_decay))
+
+    for opt_step in (1, 2, 3, 10, 100, 10_000, 10_000_000):
+        got = float(power_decay(jnp.asarray(opt_step - 1, jnp.int32)))
+        assert abs(got - diffusers_decay(opt_step)) < 1e-7, opt_step
+
+
+def test_first_ema_update_copies_params():
+    """Through the real train step: after ONE optimizer step from random
+    init, the EMA shadow equals the updated params up to float rounding
+    (decay 0.0 through the diffusers `s - (1-d)*(s-p)` update form, which
+    is not bit-exact at d=0); after the second it visibly lags. A wrong
+    (post-increment) step would blend with the random init — O(1e-1)
+    differences, 9 orders of magnitude above the rounding floor."""
+    cfg = UNetConfig(sample_size=(4, 8), in_channels=3, out_channels=2,
+                     block_out_channels=(8, 8), norm_num_groups=4,
+                     down_block_types=("DownBlock2D", "DownBlock2D"),
+                     up_block_types=("UpBlock2D", "UpBlock2D"),
+                     add_mid_attention=False)
+    unet = UNet2D(cfg)
+    x0 = np.zeros((1, 4, 8, 3), np.float32)
+    params = unet.init(jax.random.PRNGKey(0), x0, np.zeros((1,), np.int32))
+    tx = optax.adam(1e-3)
+    step = make_ldm_train_step(
+        unet_apply=lambda p, x, t: unet.apply({"params": p}, x, t),
+        schedule=Schedule.create(), tx=tx,
+        cfg=LdmTrainConfig(pos_encoding=True, pixel_scaling=1.0))
+    state = TrainState.create(params["params"], tx, with_ema=True)
+    batch = jnp.zeros((4, 4, 8, 2), jnp.float32)
+    jstep = jax.jit(step)
+    state, _ = jstep(state, batch, jax.random.PRNGKey(1))
+    for p, e in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(e), atol=1e-8)
+    state, _ = jstep(state, batch, jax.random.PRNGKey(1))
+    diffs = [float(np.abs(np.asarray(p) - np.asarray(e)).max())
+             for p, e in zip(jax.tree.leaves(state.params),
+                             jax.tree.leaves(state.ema_params))]
+    assert max(diffs) > 1e-6
+
+
 @pytest.mark.heavy
 def test_pixel_diffusion_overfits_constant_image():
     cfg = UNetConfig(sample_size=(8, 32), in_channels=3, out_channels=2,

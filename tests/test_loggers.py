@@ -75,16 +75,22 @@ def test_emergency_checkpoint_on_exception():
 
 
 def test_emergency_checkpoint_on_sigusr1():
+    """The handler only FLAGS; the save runs at the caller's next poll —
+    a handler-time save could device_get a just-donated train state or
+    reenter an in-progress orbax save (see emergency_checkpoint doc)."""
     saved = []
-    with emergency_checkpoint(lambda: saved.append(1)):
+    with emergency_checkpoint(lambda: saved.append(1)) as poll:
         os.kill(os.getpid(), signal.SIGUSR1)
+        assert saved == []          # nothing happens inside the handler
+        assert poll() is True       # the step boundary runs the save
+        assert poll() is False      # one signal -> one save
     assert saved == [1]
 
 
 def test_emergency_checkpoint_no_save_on_success():
     saved = []
-    with emergency_checkpoint(lambda: saved.append(1), signum=None):
-        pass
+    with emergency_checkpoint(lambda: saved.append(1), signum=None) as poll:
+        assert poll() is False
     assert saved == []
 
 
