@@ -141,10 +141,8 @@ def bench_sampling() -> dict:
     from rangeldm_tpu.sample_ldm import resolve_sampling_mesh
     mesh = resolve_sampling_mesh("auto", BATCH)
     if mesh is not None:
-        from rangeldm_tpu.parallel.mesh import (
-            data_sharding, replicate, replicated,
-        )
-        data_shd, repl = data_sharding(mesh, 4), replicated(mesh)
+        from rangeldm_tpu.parallel.mesh import data_sharding, replicate
+        data_shd = data_sharding(mesh, 4)
         unet_params = replicate(mesh, unet_params)
         vae_params = replicate(mesh, vae_params)
         jit_kw = {"out_shardings": data_shd}

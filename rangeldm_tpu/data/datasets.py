@@ -136,6 +136,16 @@ class RangeImageDataset:
         return path.replace("data_3d_raw", "data_3d_range").replace(
             ".bin", ext)
 
+    @staticmethod
+    def _cache_tmp(cache: str) -> str:
+        """Writer-unique tmp path for the atomic cache publish. Must be
+        unique per THREAD, not just per pid: RangeLoader's producer pool
+        can have two threads on the same item (epoch-overlap after an
+        early consumer break), and interleaved np.savez writes to one tmp
+        would publish a corrupt zip."""
+        import threading
+        return cache + f".tmp-{os.getpid()}-{threading.get_ident()}.npz"
+
     # -- sample assembly --------------------------------------------------
     def __len__(self) -> int:
         return len(self.files)
@@ -148,12 +158,16 @@ class RangeImageDataset:
                 # self-healing: cache_compress=False on a root whose caches
                 # were written compressed would otherwise be a silent no-op
                 # (the hit path never re-keys) — rewrite STORED once so the
-                # fast-read rate actually materializes from the next epoch
+                # fast-read rate actually materializes from the next epoch.
+                # Best-effort: a read-only cache root just reads slower.
                 if (not self.cfg.cache_compress
                         and z.zip.infolist()[0].compress_type != 0):
-                    tmp = cache + f".tmp-{os.getpid()}.npz"
-                    np.savez(tmp, jpg=img, mask=mask, car_window_mask=cw)
-                    os.replace(tmp, cache)
+                    try:
+                        tmp = self._cache_tmp(cache)
+                        np.savez(tmp, jpg=img, mask=mask, car_window_mask=cw)
+                        os.replace(tmp, cache)
+                    except OSError:
+                        pass
         else:
             pts = self._load_points(path)
             from rangeldm_tpu import native
@@ -166,7 +180,7 @@ class RangeImageDataset:
                 # atomic write: a preempted/concurrent run must never leave
                 # a truncated zip at the cache path (it would poison every
                 # later epoch with BadZipFile)
-                tmp = cache + f".tmp-{os.getpid()}.npz"
+                tmp = self._cache_tmp(cache)
                 save = np.savez_compressed if self.cfg.cache_compress \
                     else np.savez
                 save(tmp, jpg=img, mask=mask, car_window_mask=cw)

@@ -183,6 +183,23 @@ def score_samples(out_dir: str, data_root: str, nus: bool, limit: int,
 
 
 def main(argv=None):
+    """Wrapper keeping the documented exit-code contract: 0 PASS, 1 FAIL,
+    2 error. An uncaught exception (wrong --weights path, missing data
+    root, a crash mid-sampling) must exit 2, not the interpreter's
+    default 1 — CI gating releases on the code would otherwise record an
+    infrastructure error as 'released weights failed parity'."""
+    try:
+        return _main(argv)
+    except SystemExit:
+        raise
+    except BaseException as e:
+        import traceback
+        traceback.print_exc()
+        print(json.dumps({"pass": None, "error": f"{type(e).__name__}: {e}"}))
+        return 2
+
+
+def _main(argv=None):
     from rangeldm_tpu.utils.cache import (
         enable_compilation_cache, honor_jax_platforms_env,
     )

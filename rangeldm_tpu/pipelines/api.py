@@ -29,7 +29,8 @@ import numpy as np
 
 class RangePipeline:
     def __init__(self, pipe: dict, sensor: Optional[str] = None,
-                 dtype=jnp.bfloat16, spec=None, mesh=None):
+                 dtype=jnp.bfloat16, spec=None, mesh=None,
+                 mesh_auto: bool = False):
         self._p = pipe
         # sensor=None defers to the artifact's own record (train_ldm
         # save_final writes meta['sensor']), falling back to kitti360 for
@@ -39,6 +40,11 @@ class RangePipeline:
         self.dtype = dtype
         self._spec = spec          # explicit SensorSpec override
         self.mesh = mesh           # shard every sample batch over this mesh
+        # mesh came from "auto": adapt per call to the batch size (largest
+        # device prefix that divides it) instead of raising on the default
+        # batch_size=1 — the same policy as the CLI's --mesh_devices auto
+        self._mesh_auto = mesh_auto
+        self._submeshes = {}
         self._fns = {}
 
     # -- construction ---------------------------------------------------
@@ -55,18 +61,24 @@ class RangePipeline:
         local chips) makes every generation call a mesh-sharded program:
         batch over chips, params replicated — so inference uses the whole
         host like the reference's 8-GPU PartialState (ldm/inference.py:56).
-        Batch sizes must then be multiples of the mesh size."""
+        With an explicit Mesh, batch sizes must be multiples of the mesh
+        size; "auto" instead adapts per call — each generation uses the
+        largest device prefix that divides its batch (batch_size=1 simply
+        runs single-device), the CLI's --mesh_devices auto policy."""
         from rangeldm_tpu.sample_ldm import load_any_pipeline
         from rangeldm_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
+        mesh_auto = False
         if isinstance(mesh, str):
             if mesh != "auto":
                 raise ValueError("mesh must be a Mesh, None, or 'auto'")
             from rangeldm_tpu.parallel.mesh import make_mesh
             n = len(jax.local_devices())
             mesh = make_mesh(n) if n > 1 else None
+            mesh_auto = mesh is not None
         return cls(load_any_pipeline(path, dtype=dtype, use_ema=use_ema),
-                   sensor=sensor, dtype=dtype, spec=spec, mesh=mesh)
+                   sensor=sensor, dtype=dtype, spec=spec, mesh=mesh,
+                   mesh_auto=mesh_auto)
 
     # -- introspection --------------------------------------------------
     @property
@@ -90,7 +102,7 @@ class RangePipeline:
         downsample level)."""
         if not self.is_latent:
             return 1
-        return 2 ** (len(self._p["vae_cfg"].ch_mult) - 1)
+        return self._p["vae_cfg"].down_factor
 
     @property
     def spec(self):
@@ -99,14 +111,37 @@ class RangePipeline:
         from rangeldm_tpu.geometry import get_spec
         return get_spec(self.sensor)
 
-    def _ensure_replicated(self):
-        """Replicate the model params onto the mesh ONCE, storing them back
-        into the pipe dict: every cached sampler variant then shares the
-        same device buffers (device_put on an already-identically-sharded
-        array is a no-op), instead of each (batch, steps, method) cache
-        miss holding its own replicated copy of the UNet+VAE weights in
-        HBM."""
-        if self.mesh is None or self._p.get("_replicated"):
+    def _mesh_for_batch(self, batch_size: int):
+        """The mesh a generation call with this batch size runs on. An
+        explicit user Mesh is strict (non-divisible batches get the clear
+        error from _sampling_mesh_shardings); 'auto' adapts — the largest
+        device prefix of the local mesh that divides the batch, None
+        (single-device) when nothing does."""
+        if self.mesh is None or not self._mesh_auto:
+            return self.mesh
+        devs = list(self.mesh.devices.flat)
+        n = len(devs)
+        while n > 1 and batch_size % n:
+            n -= 1
+        if n <= 1:
+            return None
+        if n == len(devs):
+            return self.mesh
+        if n not in self._submeshes:
+            from jax.sharding import Mesh
+            self._submeshes[n] = Mesh(np.asarray(devs[:n]), ("data",))
+        return self._submeshes[n]
+
+    def _ensure_replicated(self, mesh=None):
+        """Replicate the model params onto the full mesh ONCE, storing them
+        back into the pipe dict: every cached sampler variant then shares
+        the same device buffers (device_put on an already-identically-
+        sharded array is a no-op), instead of each (batch, steps, method)
+        cache miss holding its own replicated copy of the UNet+VAE weights
+        in HBM. Sub-meshes from _mesh_for_batch skip the store-back — the
+        sampler builders replicate into their own closures."""
+        mesh = self.mesh if mesh is None else mesh
+        if mesh is None or mesh is not self.mesh or self._p.get("_replicated"):
             return
         from rangeldm_tpu.parallel.mesh import replicate
         self._p["unet_params"] = replicate(self.mesh, self._p["unet_params"])
@@ -130,7 +165,8 @@ class RangePipeline:
                              ".inpaint() instead of __call__")
         if rng is None:
             rng = jax.random.PRNGKey(seed)
-        self._ensure_replicated()
+        mesh = self._mesh_for_batch(batch_size)
+        self._ensure_replicated(mesh)
         if not final_only:
             if not self.is_latent:
                 raise ValueError("final_only=False needs a latent pipeline")
@@ -142,12 +178,14 @@ class RangePipeline:
             if fn is None:
                 from rangeldm_tpu.sample_ldm import (
                     _sampling_mesh_shardings, pipe_pos_encoding)
-                data_shd, _ = _sampling_mesh_shardings(self.mesh, batch_size)
+                data_shd, _ = _sampling_mesh_shardings(mesh, batch_size)
                 up, vp = p["unet_params"], p["vae_params"]
-                if self.mesh is not None:
+                if mesh is not None:
+                    # no-op when _ensure_replicated already stored the
+                    # full-mesh copy back; a real device_put on sub-meshes
                     from rangeldm_tpu.parallel.mesh import replicate
-                    up = replicate(self.mesh, up)
-                    vp = replicate(self.mesh, vp)
+                    up = replicate(mesh, up)
+                    vp = replicate(mesh, vp)
 
                 def traj_fn(r):
                     return latent_sample(
@@ -170,7 +208,7 @@ class RangePipeline:
         if fn is None:
             fn = self._fns[key] = build_sampler(
                 self._p, batch_size, num_inference_steps, method,
-                dtype=self.dtype, mesh=self.mesh)
+                dtype=self.dtype, mesh=mesh)
         return np.asarray(fn(rng), np.float32)
 
     # -- conditional generation ----------------------------------------
@@ -178,14 +216,15 @@ class RangePipeline:
                      rng: jax.Array, factor: int,
                      method: str = "ddim") -> np.ndarray:
         from rangeldm_tpu.sample_conditional import build_conditional_sampler
-        self._ensure_replicated()
         bs = next(iter(cond_inputs.values())).shape[0]
+        mesh = self._mesh_for_batch(bs)
+        self._ensure_replicated(mesh)
         key = (mode, bs, num_steps, factor, method)
         fn = self._fns.get(key)
         if fn is None:
             fn = self._fns[key] = build_conditional_sampler(
                 self._p, bs, mode, num_steps, factor, dtype=self.dtype,
-                mesh=self.mesh, method=method)
+                mesh=mesh, method=method)
         return np.asarray(fn(rng, cond_inputs), np.float32)
 
     def upsample(self, sparse_images, num_inference_steps: int = 50,

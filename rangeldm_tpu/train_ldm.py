@@ -419,6 +419,8 @@ class LdmTrainer:
                             step,
                             cond_batch=batch if self.spec.cond_channels
                             else None)
+                        melk()   # a dump takes seconds-to-minutes; serve a
+                        # signal that landed during it before the next step
                     if max_steps and step >= max_steps:
                         break
         finally:

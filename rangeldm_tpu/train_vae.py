@@ -252,6 +252,8 @@ class VaeTrainer:
                         # process's slice like train_ldm's dumps do
                         image_logger.log(step, inputs=to_local_np(x),
                                          reconstructions=to_local_np(xrec))
+                        melk()   # the recon dump blocks for a while; serve
+                        # a signal that landed during it before stepping on
                     if step % log_every == 0 or (max_steps and step >= max_steps):
                         last = {k: float(v) for k, v in {**gm, **dm}.items()}
                         last["step"] = step

@@ -57,22 +57,43 @@ def save_pipeline(directory: str, *, unet_params, unet_cfg,
     is fully committed (destroy-then-write would leave config.json with
     no params as the ONLY copy of a finished run), and a re-save never
     mixes generations (a fresh dir cannot keep a stale unet_ema/ from an
-    earlier save that this one omits)."""
+    earlier save that this one omits).
+
+    Multi-host: the orbax component saves are COLLECTIVE under
+    jax.distributed (StandardCheckpointer.save runs a global sync
+    internally), so every process must call into the SAME deterministic
+    tmp tree — a per-process tmp name would deadlock/mismatch the
+    collective. The filesystem mutations around them (stale-tmp cleanup,
+    json writes, the whole-directory swap) are process-0-only, fenced by
+    barriers so no process returns before the artifact exists."""
     import dataclasses
     import shutil
-    parent = os.path.dirname(os.path.abspath(directory)) or "."
-    os.makedirs(parent, exist_ok=True)
-    tmp = os.path.abspath(directory) + f".tmp-{os.getpid()}"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
+
+    primary = jax.process_index() == 0
+
+    def barrier(tag: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(
+                f"save_pipeline:{tag}:{directory}")
+
+    # deterministic tmp: the collective orbax saves need one shared tree
+    tmp = os.path.abspath(directory) + ".tmp"
+    if primary:
+        os.makedirs(os.path.dirname(os.path.abspath(directory)) or ".",
+                    exist_ok=True)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+    barrier("tmp-ready")
     ckpt = ocp.StandardCheckpointer()
 
     def dump(name, params, cfg):
-        os.makedirs(os.path.join(tmp, name), exist_ok=True)
+        if primary:
+            os.makedirs(os.path.join(tmp, name), exist_ok=True)
         ckpt.save(os.path.join(tmp, name, "params"),
                   jax.tree.map(np.asarray, params))
-        if cfg is not None:
+        if cfg is not None and primary:
             with open(os.path.join(tmp, name, "config.json"), "w") as f:
                 json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
@@ -81,19 +102,23 @@ def save_pipeline(directory: str, *, unet_params, unet_cfg,
         dump("unet_ema", ema_params, unet_cfg)
     if vae_params is not None:
         dump("vae", vae_params, vae_cfg)
-    meta = {"schedule": dataclasses.asdict(schedule_cfg) if schedule_cfg else None}
-    meta.update(extra or {})
-    with open(os.path.join(tmp, "model_index.json"), "w") as f:
-        json.dump(meta, f, indent=2, default=str)
+    if primary:
+        meta = {"schedule":
+                dataclasses.asdict(schedule_cfg) if schedule_cfg else None}
+        meta.update(extra or {})
+        with open(os.path.join(tmp, "model_index.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
     ckpt.wait_until_finished()
 
-    old = None
-    if os.path.exists(directory):
-        old = os.path.abspath(directory) + f".old-{os.getpid()}"
-        os.rename(directory, old)
-    os.rename(tmp, directory)
-    if old is not None:
-        shutil.rmtree(old, ignore_errors=True)
+    if primary:
+        old = None
+        if os.path.exists(directory):
+            old = os.path.abspath(directory) + f".old-{os.getpid()}"
+            os.rename(directory, old)
+        os.rename(tmp, directory)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+    barrier("committed")
 
 
 def load_pipeline_component(directory: str, name: str, template) -> Any:

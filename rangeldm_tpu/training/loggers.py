@@ -137,7 +137,10 @@ def emergency_checkpoint(save_fn: Callable[[], None],
     device_get raises, escapes the handler at an arbitrary bytecode, and
     kills the run WITHOUT a checkpoint; it could also reenter a
     non-reentrant in-progress orbax save. Preemption grace windows
-    (30-120 s) dwarf a step (~ms), so boundary-deferral loses nothing.
+    (30-120 s) dwarf a step (~ms), so boundary-deferral loses nothing —
+    but callers must ALSO poll right after long non-step work (sample
+    dumps, validation passes), where a signal would otherwise wait out
+    the whole operation plus one more step.
 
     Any exception escaping the block still triggers a best-effort save.
     Signal handlers can only be installed from the main thread; elsewhere

@@ -114,6 +114,20 @@ def main():
         local_state, jnp.asarray(expected_global), jax.random.PRNGKey(7))
     ref_loss = float(ref_metrics["loss"])
 
+    # every process calls save_pipeline on the SAME shared path — the
+    # single-writer + barrier contract of training/checkpoint.py: process 0
+    # writes the artifact, the other waits on the barrier, and neither
+    # returns before it exists (two unsynchronized tmp/rename swaps on
+    # shared storage could interleave or crash the loser's rename)
+    pipe_dir = os.environ.get("PIPE_DIR")
+    if pipe_dir:
+        from rangeldm_tpu.training.checkpoint import save_pipeline
+        save_pipeline(pipe_dir,
+                      unet_params=jax.device_get(new_state.params),
+                      unet_cfg=unet_cfg)
+        assert os.path.exists(os.path.join(pipe_dir, "model_index.json")), \
+            f"proc {jax.process_index()} returned before the artifact exists"
+
     with open(os.environ["OUT"], "w") as f:
         json.dump({"process": jax.process_index(),
                    "indices": my_indices,

@@ -46,6 +46,7 @@ def test_two_process_distributed_train_step(tmp_path):
             XLA_FLAGS="--xla_force_host_platform_device_count=2",
             COORD=f"localhost:{port}", PROC_ID=str(pid), NPROC="2",
             OUT=str(tmp_path / f"out{pid}.json"),
+            PIPE_DIR=str(tmp_path / "pipeline"),
             PYTHONPATH=os.pathsep.join(
                 [os.path.dirname(WORKER), os.path.dirname(
                     os.path.dirname(WORKER))]
@@ -80,3 +81,12 @@ def test_two_process_distributed_train_step(tmp_path):
     for r in results:
         assert np.isfinite(r["loss"])
         assert r["loss"] == pytest.approx(r["ref_loss"], rel=1e-5)
+    # both processes called save_pipeline on the same shared path: exactly
+    # one artifact, written whole, with no tmp/old debris from the swap
+    pipe_dir = tmp_path / "pipeline"
+    assert (pipe_dir / "model_index.json").exists()
+    assert (pipe_dir / "unet" / "config.json").exists()
+    assert (pipe_dir / "unet" / "params").exists()
+    debris = [p.name for p in tmp_path.iterdir()
+              if ".tmp-" in p.name or ".old-" in p.name]
+    assert not debris, debris

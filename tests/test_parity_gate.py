@@ -126,3 +126,16 @@ def test_detect_target_shapes():
     assert parity_gate.detect_target(fake(32, False)) == "rangedm_kitti360"
     assert parity_gate.pipe_image_size(fake(64, True)) == (64, 1024)
     assert parity_gate.pipe_image_size(fake(64, False)) == (64, 1024)
+
+
+def test_error_exit_code_is_2_not_fail(tmp_path, capsys):
+    """The documented contract (parity_gate.py:21): 0 PASS, 1 FAIL, 2 error.
+    An infrastructure error (bogus --weights dir) must exit 2 — exiting 1
+    would record it as 'released weights failed parity' in CI."""
+    from rangeldm_tpu import parity_gate
+    rc = parity_gate.main(["--weights", str(tmp_path / "nope"),
+                           "--data", str(tmp_path / "nodata")])
+    assert rc == 2
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(out)
+    assert rep["pass"] is None and "error" in rep

@@ -170,3 +170,36 @@ def test_pipe_pos_encoding_heuristic():
     # the API's cond-channel accounting uses the same helper
     from rangeldm_tpu.pipelines import RangePipeline
     assert RangePipeline(p).cond_channels == 4
+
+
+def test_range_pipeline_mesh_auto_adapts_to_batch():
+    """mesh='auto' must never make the documented default pipe() raise:
+    non-divisible batches adapt to the largest device prefix that divides
+    them (the CLI's --mesh_devices auto policy), down to single-device for
+    batch 1 — while an explicit Mesh stays strict."""
+    from rangeldm_tpu.pipelines import RangePipeline
+    pipe_d = _tiny_pipe()
+    base = RangePipeline(dict(pipe_d), dtype=jnp.float32)
+    auto = RangePipeline(dict(pipe_d), dtype=jnp.float32, mesh=make_mesh(8),
+                         mesh_auto=True)
+    # batch 1: nothing divides -> single-device, still correct
+    np.testing.assert_allclose(
+        auto(batch_size=1, num_inference_steps=2, seed=3),
+        base(batch_size=1, num_inference_steps=2, seed=3),
+        rtol=1e-5, atol=1e-5)
+    # batch 6 on 8 devices -> 6-device submesh, same samples
+    np.testing.assert_allclose(
+        auto(batch_size=6, num_inference_steps=2, seed=3),
+        base(batch_size=6, num_inference_steps=2, seed=3),
+        rtol=1e-5, atol=1e-5)
+    assert 6 in auto._submeshes and auto._submeshes[6].size == 6
+    # divisible batch uses the full mesh and stores the replicated params
+    np.testing.assert_allclose(
+        auto(batch_size=8, num_inference_steps=2, seed=3),
+        base(batch_size=8, num_inference_steps=2, seed=3),
+        rtol=1e-5, atol=1e-5)
+    assert auto._p.get("_replicated") is True
+    # explicit Mesh keeps the clear error
+    strict = RangePipeline(dict(pipe_d), dtype=jnp.float32, mesh=make_mesh(8))
+    with pytest.raises(ValueError, match="not divisible"):
+        strict(batch_size=6, num_inference_steps=2)
