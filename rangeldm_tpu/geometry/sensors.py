@@ -151,7 +151,8 @@ class SensorSpec:
     grid_sizes: tuple = (1, 1024, 1024)
     pc_range: tuple = (-25.6, -25.6, -3.0, 25.6, 25.6, 1.0)
 
-    # numpy tables (excluded from hash/eq; derived from `name`)
+    # numpy tables (excluded from the dataclass-generated compare; folded
+    # into __eq__/__hash__ below by CONTENT)
     height: np.ndarray = dataclasses.field(default=None, hash=False, compare=False, repr=False)
     zenith: np.ndarray = dataclasses.field(default=None, hash=False, compare=False, repr=False)
 
@@ -162,6 +163,28 @@ class SensorSpec:
 
     def replace(self, **kw) -> "SensorSpec":
         return dataclasses.replace(self, **kw)
+
+    # jitted geometry (project / to_point_cloud / to_voxel) takes the spec
+    # as a STATIC argument and bakes the height/zenith tables in as
+    # trace-time constants, so the jit cache is keyed by this hash/eq. The
+    # tables must therefore participate BY CONTENT: two specs equal in
+    # every scalar but carrying different calibration tables (replace(
+    # height=...) without touching n_beams) would otherwise silently share
+    # one trace and return geometry computed with the WRONG tables.
+    def _key(self):
+        scalars = tuple(getattr(self, f.name)
+                        for f in dataclasses.fields(self) if f.compare)
+        tables = tuple(None if t is None else (t.shape, t.tobytes())
+                       for t in (self.height, self.zenith))
+        return scalars + tables
+
+    def __eq__(self, other):
+        if not isinstance(other, SensorSpec):
+            return NotImplemented
+        return self._key() == other._key()
+
+    def __hash__(self):
+        return hash(self._key())
 
 
 def kitti360_spec(width: int = 1024, **kw) -> SensorSpec:

@@ -38,7 +38,12 @@ def _one_sided(a: jnp.ndarray, b: jnp.ndarray, a_valid, b_valid,
         return carry + s, None
 
     total, _ = jax.lax.scan(body, jnp.float32(0.0), (a_c, av_c))
-    return total / jnp.maximum(jnp.sum(a_valid), 1)
+    # a side with ZERO valid points has no defined chamfer: the min over
+    # an all-masked b would be the 1e30 sentinel, silently poisoning any
+    # averaged metric — surface NaN instead (visible in every sink)
+    ok = (jnp.sum(a_valid) > 0) & (jnp.sum(b_valid) > 0)
+    return jnp.where(ok, total / jnp.maximum(jnp.sum(a_valid), 1),
+                     jnp.float32(jnp.nan))
 
 
 def chamfer_distance(a, b, a_valid=None, b_valid=None) -> jnp.ndarray:

@@ -9,7 +9,6 @@ the two sides' mean/covariance enter the standard Frechet distance.
 from __future__ import annotations
 
 import random
-from typing import Iterable, Sequence
 
 import numpy as np
 from scipy import linalg
@@ -51,13 +50,20 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
             - 2 * np.trace(covmean))
 
 
+def frd_from_activations(act_a: np.ndarray, act_b: np.ndarray) -> float:
+    """Frechet distance between two (N, D) activation matrices — the final
+    step once the fixed-index subsample has already been gathered (the FRD
+    pipeline gathers it on device to avoid materializing full feature
+    stacks on host)."""
+    mu_a, s_a = act_a.mean(0), np.cov(act_a, rowvar=False)
+    mu_b, s_b = act_b.mean(0), np.cov(act_b, rowvar=False)
+    return frechet_distance(mu_a, s_a, mu_b, s_b)
+
+
 def compute_frd(features_a: np.ndarray, features_b: np.ndarray,
                 n_dims: int = 4096) -> float:
     """FRD between two NHWC feature stacks (generated vs reference)."""
     total = int(np.prod(features_a.shape[1:]))
     idx = frd_indices(n_dims, total)
-    act_a = features_to_activations(features_a, idx)
-    act_b = features_to_activations(features_b, idx)
-    mu_a, s_a = act_a.mean(0), np.cov(act_a, rowvar=False)
-    mu_b, s_b = act_b.mean(0), np.cov(act_b, rowvar=False)
-    return frechet_distance(mu_a, s_a, mu_b, s_b)
+    return frd_from_activations(features_to_activations(features_a, idx),
+                                features_to_activations(features_b, idx))

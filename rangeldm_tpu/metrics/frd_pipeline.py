@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rangeldm_tpu.geometry.laserscan import laserscan_project
-from rangeldm_tpu.metrics.frd import compute_frd
+from rangeldm_tpu.metrics.frd import frd_from_activations, frd_indices
 from rangeldm_tpu.metrics.rangenet import (
     KITTI_IMG_MEANS, KITTI_IMG_STDS, RangeNet, convert_rangenet_state_dict,
     preprocess_scan,
@@ -115,17 +115,35 @@ def _numeric_sorted(files: List[str]) -> List[str]:
     return sorted(files, key=key)
 
 
-def _dump_scans(sample_dir: str, prefix: str, sub: str, spec,
-                limit: int, max_depth: float = 90.0):
-    """Load {prefix}_{sub}/{i}.npy normalized range-image dumps
-    (sample_conditional.py triplets), back-project with the training sensor
-    spec, and yield depth-filtered (N, 4) point clouds."""
-    from rangeldm_tpu.geometry.inverse import to_point_cloud
+def generated_sample_files(sample_dir: str, limit: int) -> List[str]:
+    """The sample CLI's unpadded {i}.bin dumps, truncated to `limit` in
+    INTEGER index order: a lexicographic sort would select
+    {0, 1, 10, 100, 1000, ...} — a different subset than the reference's
+    first-N-by-index pairing."""
+    files = _numeric_sorted(
+        glob.glob(os.path.join(sample_dir, "*.bin")))[:limit]
+    if not files:
+        raise FileNotFoundError(
+            f"no generated .bin samples under {sample_dir}")
+    return files
+
+
+def _dump_files(sample_dir: str, prefix: str, sub: str,
+                limit: int) -> List[str]:
+    """{prefix}_{sub}/{i}.npy dumps in index order, truncated to limit."""
     files = _numeric_sorted(glob.glob(
         os.path.join(sample_dir, f"{prefix}_{sub}", "*.npy")))[:limit]
     if not files:
         raise FileNotFoundError(
             f"no dumps under {sample_dir}/{prefix}_{sub}")
+    return files
+
+
+def _dump_scans(files: List[str], spec, max_depth: float = 90.0):
+    """Load {i}.npy normalized range-image dumps (sample_conditional.py
+    triplets), back-project with the training sensor spec, and yield
+    depth-filtered (N, 4) point clouds."""
+    from rangeldm_tpu.geometry.inverse import to_point_cloud
     for f in files:
         img = np.load(f)
         if img.ndim == 2:
@@ -159,37 +177,76 @@ def compute_segmentation_scores(sample_dir: str, prefix: str,
     from rangeldm_tpu.metrics.mae import (
         segmentation_accuracy, segmentation_iou,
     )
-    model, variables = load_rangenet(rangenet_dir)
     spec = get_spec(sensor, log=encoding == "log",
                     inverse=encoding == "inverse")
-    res = extract_labels(model, variables,
-                         _dump_scans(sample_dir, prefix, "result", spec,
-                                     limit))
-    tgt = extract_labels(model, variables,
-                         _dump_scans(sample_dir, prefix, "target", spec,
-                                     limit))
-    if res.shape != tgt.shape:
-        raise ValueError(f"result/target dump mismatch: {res.shape} vs "
-                         f"{tgt.shape}")
+    res_files = _dump_files(sample_dir, prefix, "result", limit)
+    tgt_files = _dump_files(sample_dir, prefix, "target", limit)
+    rn = [os.path.basename(f) for f in res_files]
+    tn = [os.path.basename(f) for f in tgt_files]
+    if rn != tn:
+        # equal-COUNT dirs can still hold different index sets (a missing
+        # dump on one side, an extra on the other) — pairing by position
+        # would then silently score result i against target j
+        raise ValueError(
+            "result/target dumps are not the same index set; differing: "
+            f"{sorted(set(rn) ^ set(tn))[:8]}")
+    model, variables = load_rangenet(rangenet_dir)
+    if not model.with_head:
+        raise ValueError("RangeNet was loaded without a segmentation head")
+
+    # one jitted forward serves both dump dirs (a fresh @jax.jit closure
+    # per dir would recompile the identical darknet program)
+    @jax.jit
+    def fwd(x):
+        _, logits = model.apply(variables, x)
+        return jnp.argmax(logits, axis=-1)
+
+    res = _run_batched(fwd, np.int32, (0, 64, 1024),
+                       _dump_scans(res_files, spec), 8, 64, 1024)
+    tgt = _run_batched(fwd, np.int32, (0, 64, 1024),
+                       _dump_scans(tgt_files, spec), 8, 64, 1024)
     return {"iou": segmentation_iou(res, tgt),
             "accuracy": segmentation_accuracy(res, tgt)}
 
 
 def compute_frd_for_dirs(sample_dir: str, reference_files: List[str],
                          rangenet_dir: Optional[str],
-                         limit: int = 1000) -> float:
+                         limit: int = 1000, batch_size: int = 8,
+                         h: int = 64, w: int = 1024) -> float:
+    """FRD between the generated `{i}.bin` dumps and the held-out scans
+    (metrics/metric.py:99-135). Generated files pair/truncate in INTEGER
+    index order (sample_ldm writes unpadded names, so a lexicographic sort
+    under `limit` would select {0, 1, 10, 100, 1000, ...} — a different
+    subset than the reference's first-N). The 4096-dim reference subsample
+    is gathered ON DEVICE inside one jitted forward that serves both dirs:
+    full (N, 64, 1024, 32) feature stacks are ~8.4 GB/side at the
+    reference's N=1000 (the host-side transpose+subsample peaked >25 GB),
+    vs ~16 MB/side of activations."""
     if rangenet_dir is None:
         raise ValueError("--rangenet checkpoint dir required for FRD")
+    gen_files = generated_sample_files(sample_dir, limit)
+    ref_files = list(reference_files[:limit])
+    if not ref_files:
+        raise FileNotFoundError("no held-out reference scans to score "
+                                "against (empty reference_files)")
     model, variables = load_rangenet(rangenet_dir)
+    idx = frd_indices(total=h * w * 32)
+    idxj = jnp.asarray(idx)
 
-    def gen_scans():
-        for f in sorted(glob.glob(os.path.join(sample_dir, "*.bin")))[:limit]:
+    @jax.jit
+    def fwd(x):
+        feats, _ = model.apply(variables, x)
+        # torch-CHW flatten order, then the reference's fixed subsample
+        # (frd.features_to_activations semantics, on device)
+        chw = jnp.transpose(feats, (0, 3, 1, 2)).reshape(feats.shape[0], -1)
+        return chw[:, idxj]
+
+    def scans(files):
+        for f in files:
             yield np.fromfile(f, np.float32).reshape(-1, 4)
 
-    def ref_scans():
-        for f in reference_files[:limit]:
-            yield np.fromfile(f, np.float32).reshape(-1, 4)
-
-    gen_feats = extract_features(model, variables, gen_scans())
-    ref_feats = extract_features(model, variables, ref_scans())
-    return compute_frd(gen_feats, ref_feats)
+    gen_acts = _run_batched(fwd, np.float32, (0, len(idx)), scans(gen_files),
+                            batch_size, h, w)
+    ref_acts = _run_batched(fwd, np.float32, (0, len(idx)), scans(ref_files),
+                            batch_size, h, w)
+    return frd_from_activations(gen_acts, ref_acts)

@@ -103,16 +103,17 @@ def test_evaluate_frd_cli(tmp_path, rng, monkeypatch):
     monkeypatch.setenv("KITTI360_DATASET", str(root))
 
     # spy on the final distance call to verify --limit truncated BOTH
-    # feature stacks, while the real glob/load/project/extract path runs
+    # activation stacks, while the real glob/load/project/extract path
+    # (incl. the on-device 4096-dim gather) runs
     from rangeldm_tpu.metrics import frd_pipeline
     seen = []
-    real_compute_frd = frd_pipeline.compute_frd
+    real_frd = frd_pipeline.frd_from_activations
 
     def spy(a, b, **kw):
         seen.append((a.shape, b.shape))
-        return real_compute_frd(a, b, **kw)
+        return real_frd(a, b, **kw)
 
-    monkeypatch.setattr(frd_pipeline, "compute_frd", spy)
+    monkeypatch.setattr(frd_pipeline, "frd_from_activations", spy)
 
     from rangeldm_tpu.evaluate import main
     res = main(["--exp", str(gen), "--frd", "--rangenet", ckpt,
@@ -121,6 +122,9 @@ def test_evaluate_frd_cli(tmp_path, rng, monkeypatch):
     (gen_shape, ref_shape), = seen
     assert gen_shape[0] == 2, "--limit not forwarded to the sample dir glob"
     assert ref_shape[0] == 2, "--limit not forwarded to the reference files"
+    # the on-device gather hands frd_from_activations the reference's
+    # 4096-dim subsample, never a full feature stack
+    assert gen_shape[1] == 4096 and ref_shape[1] == 4096
 
     # missing --rangenet is a clear error, not a crash deep in the stack
     with pytest.raises(ValueError, match="rangenet"):

@@ -181,3 +181,23 @@ def test_vanilla_inverse_keeps_negative_ranges():
     # table spec: snapped to range_fill -> far from origin
     pc_k = np.asarray(to_point_cloud(img, kit))
     assert np.linalg.norm(pc_k[..., :2], axis=-1).max() > 50.0
+
+
+def test_spec_table_content_keys_jit_cache():
+    """Jitted geometry takes the spec as a STATIC arg and bakes the
+    height/zenith tables in as constants, so the jit cache is keyed by
+    SensorSpec.__hash__/__eq__ — which must include the tables BY CONTENT:
+    replace(zenith=...) with every scalar equal would otherwise silently
+    reuse the old trace and return geometry from the WRONG calibration."""
+    from rangeldm_tpu.geometry.inverse import to_point_cloud
+    from rangeldm_tpu.geometry.sensors import kitti360_spec
+    spec = kitti360_spec(width=32)
+    img = np.full((1, 64, 32, 2), 0.1, np.float32)
+    pc1 = np.asarray(to_point_cloud(jnp.asarray(img), spec))
+    tilted = spec.replace(zenith=spec.zenith + 5.0,
+                          height=spec.height)
+    assert tilted != spec and hash(tilted) != hash(spec)
+    pc2 = np.asarray(to_point_cloud(jnp.asarray(img), tilted))
+    # a 5-degree zenith tilt must move the back-projected points — if the
+    # stale trace were reused, pc2 would equal pc1 bit-for-bit
+    assert not np.allclose(pc1, pc2)

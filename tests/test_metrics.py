@@ -255,3 +255,63 @@ def test_frd_pipeline_end_to_end(rng):
     assert abs(same) < 1e-4
     assert diff > same
     assert np.isfinite(diff)
+
+
+def test_generated_sample_files_numeric_order(tmp_path):
+    """compute_frd_for_dirs must truncate the unpadded {i}.bin dumps in
+    INTEGER index order: a lexicographic sort under limit picks
+    {0, 1, 10, ...} — a different subset than the reference's first-N."""
+    from rangeldm_tpu.metrics.frd_pipeline import generated_sample_files
+    for i in range(12):
+        (tmp_path / f"{i}.bin").write_bytes(b"\0" * 16)
+    got = [int(f.rsplit("/", 1)[-1][:-4])
+           for f in generated_sample_files(str(tmp_path), 3)]
+    assert got == [0, 1, 2]
+    import pytest
+    with pytest.raises(FileNotFoundError, match="no generated"):
+        generated_sample_files(str(tmp_path / "empty"), 3)
+
+
+def test_segmentation_scores_reject_mismatched_index_sets(tmp_path):
+    """Equal-count result/target dirs with different index sets must error
+    instead of silently pairing by position (the reference pairs by
+    integer filename, iou.py)."""
+    import pytest
+    from rangeldm_tpu.metrics.frd_pipeline import compute_segmentation_scores
+    for sub, idxs in (("result", [0, 1, 3]), ("target", [0, 1, 2])):
+        d = tmp_path / f"densification_{sub}"
+        d.mkdir()
+        for i in idxs:
+            np.save(d / f"{i}.npy", np.zeros((8, 16, 1), np.float32))
+    with pytest.raises(ValueError, match="index set"):
+        compute_segmentation_scores(str(tmp_path), "densification",
+                                    rangenet_dir="unused-never-loaded")
+
+
+def test_chamfer_all_invalid_side_is_nan():
+    """A side with zero valid points has no defined chamfer — the metric
+    must surface NaN, not the 1e30 masking sentinel."""
+    from rangeldm_tpu.metrics.chamfer import chamfer_distance
+    a = np.random.default_rng(0).standard_normal((32, 3)).astype(np.float32)
+    b = np.random.default_rng(1).standard_normal((16, 3)).astype(np.float32)
+    d = chamfer_distance(a, b, b_valid=np.zeros(16, bool))
+    assert np.isnan(float(d))
+    d = chamfer_distance(a, b, a_valid=np.zeros(32, bool))
+    assert np.isnan(float(d))
+    # both sides valid stays finite and positive
+    assert float(chamfer_distance(a, b)) > 0
+
+
+def test_frd_from_activations_matches_compute_frd(rng):
+    """compute_frd == host subsample + frd_from_activations (the pipeline
+    gathers the same subsample on device)."""
+    from rangeldm_tpu.metrics.frd import (
+        compute_frd, features_to_activations, frd_from_activations,
+        frd_indices,
+    )
+    fa = rng.standard_normal((6, 4, 8, 3)).astype(np.float32)
+    fb = rng.standard_normal((6, 4, 8, 3)).astype(np.float32)
+    idx = frd_indices(n_dims=16, total=4 * 8 * 3)
+    via_acts = frd_from_activations(features_to_activations(fa, idx),
+                                    features_to_activations(fb, idx))
+    assert via_acts == pytest.approx(compute_frd(fa, fb, n_dims=16))
