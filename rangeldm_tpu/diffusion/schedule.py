@@ -79,10 +79,15 @@ class Schedule:
     def init_noise_sigma(self) -> float:
         return 1.0
 
-    def _acp(self, t):
+    def _acp(self, t, final=None):
         """alpha_cumprod[t] with t < 0 -> final_alpha_cumprod (diffusers
-        DDIM: 1.0 when set_alpha_to_one, else alphas_cumprod[0])."""
-        final = 1.0 if self.cfg.set_alpha_to_one else self.alphas_cumprod[0]
+        DDIM: 1.0 when set_alpha_to_one, else alphas_cumprod[0]). `final`
+        overrides that boundary value — DDPM always uses 1.0 (diffusers
+        DDPMScheduler `self.one`), the set_alpha_to_one knob is
+        DDIM-only."""
+        if final is None:
+            final = (1.0 if self.cfg.set_alpha_to_one
+                     else self.alphas_cumprod[0])
         safe = jnp.clip(t, 0, self.cfg.num_train_timesteps - 1)
         return jnp.where(t < 0, final, self.alphas_cumprod[safe])
 
@@ -163,9 +168,12 @@ class Schedule:
     def ddpm_step(self, rng: jax.Array, model_out: jnp.ndarray,
                   t: jnp.ndarray, t_prev: jnp.ndarray,
                   x: jnp.ndarray) -> jnp.ndarray:
-        """One ancestral DDPM step x_t -> x_{t_prev} (fixed_small variance)."""
+        """One ancestral DDPM step x_t -> x_{t_prev} (fixed_small variance).
+        The t_prev < 0 boundary always uses alpha_prod_prev = 1.0: the
+        DDIM-only set_alpha_to_one config must not leak into DDPM
+        (diffusers DDPMScheduler.step uses `self.one` unconditionally)."""
         a_t = self._bc(self._acp(t), x)
-        a_prev = self._bc(self._acp(t_prev), x)
+        a_prev = self._bc(self._acp(t_prev, final=1.0), x)
         beta_prod = 1 - a_t
         beta_prod_prev = 1 - a_prev
         alpha_cur = a_t / a_prev

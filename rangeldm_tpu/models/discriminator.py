@@ -189,6 +189,19 @@ class NLayerDiscriminatorMetaKernel(nn.Module):
                                 epsilon=1e-5, dtype=self.dtype, name=name,
                                 scale_init=_bn_scale_init)
 
+        # fail with a clear message BEFORE a mid-stack stride-2 stage
+        # collapses to zero extent — lax.slice inside _extract_patches
+        # would otherwise raise an opaque 'limit < start'; the post-hoc
+        # assert below only reaches stride-1 collapses (zero-width slices
+        # are legal there)
+        eh, ew = int(x.shape[1]), int(x.shape[2])
+        for _ in range(self.n_layers):
+            eh, ew = (eh - 2) // 2 + 1, (ew - 2) // 2 + 1
+            if eh <= 0 or ew <= 0:
+                raise ValueError(
+                    f"input {x.shape} too small for a {self.n_layers}-layer "
+                    "MetaKernel discriminator: a stride-2 stage collapses "
+                    "to zero spatial extent")
         azi, inc = self.azi, self.inc
         h, r = MetaKernel(self.ndf, azi, inc, stride=2, dtype=self.dtype,
                           name="main_0")(x, r)

@@ -7,8 +7,10 @@ experimental), but part of the component inventory:
     (vae/sgm/modules/diffusionmodules/model.py:127-299): graph-style conv
     over rolled 3x3 neighbourhoods with range positional encodings and a
     variance-min pooling downsample.
-  * SlicedConv (model.py:1059-1133): per-beam-row grouped 1D convs emulating
-    a height-sliced conv with circular azimuth.
+  * PerRowConv: an exploratory per-beam-row conv (every row its own 2D
+    filter). NOT the reference's SlicedConv — that operator groups beam
+    rows in PAIRS of k-wide 1D azimuth filters and lives, torch-parity
+    tested, in models/sliced.py (model.py:1059-1133).
   * SparseRangeImageEncoder (ldm/encoders.py:58-84): the learned conv
     variant of the condition encoder (the shipped configs use the
     parameter-free pixel unshuffle, layers.PixelUnshuffleAzimuth).
@@ -103,10 +105,12 @@ def range_downsample(x: jnp.ndarray, r: jnp.ndarray):
     return x_out, r_out
 
 
-class SlicedConv(nn.Module):
-    """Per-beam-row grouped conv (model.py:1059-1133): each of the H beam
-    rows gets its own k-wide 1D filter bank over azimuth (circular),
-    mixing a (kh x kw) beam neighbourhood."""
+class PerRowConv(nn.Module):
+    """Exploratory per-beam-row conv: each of the H beam rows gets its own
+    (k x k) 2D filter over a circular-azimuth neighbourhood. This is NOT
+    the reference's SlicedConv (pair-grouped 1D azimuth filters — see
+    models/sliced.py for the torch-parity implementation); it exists as a
+    strictly-more-expressive variant for experimentation."""
     out_channels: int
     kernel_size: int = 3
     dtype: Optional[Any] = None

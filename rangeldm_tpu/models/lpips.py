@@ -86,8 +86,14 @@ class LPIPS(nn.Module):
         shift = jnp.asarray(_SCALE_SHIFT)
         scale = jnp.asarray(_SCALE_SCALE)
         net = VGG16Features(dtype=self.dtype, name="net")
-        fx = net((x - shift) / scale)
-        fy = net((y - shift) / scale)
+        # one batched pass over [x; y]: the 13-conv VGG chain is batch-
+        # independent (conv/relu/pool only) and XLA cannot fuse two
+        # separate chains, so concat halves the conv dispatches vs
+        # net(x) + net(y) at the small GAN-loss batch sizes
+        n = x.shape[0]
+        feats = net((jnp.concatenate([x, y], axis=0) - shift) / scale)
+        fx = [f[:n] for f in feats]
+        fy = [f[n:] for f in feats]
         total = 0.0
         for k, (a, b) in enumerate(zip(fx, fy)):
             diff = (_normalize(a) - _normalize(b)) ** 2

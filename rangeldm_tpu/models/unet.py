@@ -178,7 +178,8 @@ class Attention(nn.Module):
         # matching attention_mh's reshape(b, t, heads, hd)
         qt, kt, vt = (u.reshape(b * n_heads, hd, t) for u in (qt, kt, vt))
 
-        small = t <= 64   # grid-overhead-bound; XLA wins (BENCHMARKS.md)
+        from rangeldm_tpu.ops.attention import XLA_EINSUM_MAX_T
+        small = t <= XLA_EINSUM_MAX_T   # grid-overhead-bound; XLA wins
         if self.use_fused is True:
             if jax.default_backend() == "tpu":
                 # custom-VJP wrapper so the forced-fused path trains

@@ -34,6 +34,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# XLA-vs-Pallas crossover: sequences at or below this length route to the
+# materialized-scores einsum path (grid-overhead-bound in the kernel;
+# measured 0.36 vs 0.44 ms for the six T=64 layers chained, BENCHMARKS.md).
+# The ONE tunable shared by attention_mh_fused and models/unet.Attention —
+# re-tune it here, never fork the literal.
+XLA_EINSUM_MAX_T = 64
+
 
 _LOG2E = float(np.log2(np.e))
 
@@ -212,7 +219,7 @@ def attention_mh_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q/k/v: (B, T, C) with C = n_heads * head_dim."""
     b, t, c = q.shape
     hd = c // n_heads
-    if t <= 64:
+    if t <= XLA_EINSUM_MAX_T:
         # tiny sequences are kernel-grid-overhead-bound; the materialized
         # (B*H, T, T) scores are small enough to stay VMEM-resident and XLA
         # wins (measured 0.36 vs 0.44 ms for the six T=64 layers chained,

@@ -128,3 +128,16 @@ def test_metakernel2_hybrid_runs(rng):
     p = vs["params"]
     for name in ("main_0", "main_2", "main_5", "main_8", "main_11"):
         assert name in p, sorted(p)
+
+
+def test_metakernel_disc_too_small_input_is_a_clear_error():
+    """A mid-stack stride-2 collapse must raise the explicit ValueError,
+    not an opaque lax.slice 'limit < start' from inside _extract_patches
+    (a 4-beam input collapses 4 -> 2 -> 1 -> 0 under three stride-2
+    MetaKernel stages)."""
+    import pytest
+    m = NLayerDiscriminatorMetaKernel(ndf=8, azi=2 * np.pi / 32,
+                                      inc=0.01, n_layers=3)
+    x = np.zeros((1, 4, 32, 2), np.float32)
+    with pytest.raises(ValueError, match="too small"):
+        m.init(jax.random.PRNGKey(0), x)

@@ -303,3 +303,24 @@ def test_ddim_final_alpha_respects_set_alpha_to_one():
         / np.sqrt(float(s0.alphas_cumprod[19]))
     expect = np.sqrt(acp0) * x0_pred + np.sqrt(1 - acp0) * eps
     np.testing.assert_allclose(a0, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_ddpm_final_step_ignores_set_alpha_to_one():
+    """The DDIM-only set_alpha_to_one knob must not leak into ddpm_step:
+    diffusers DDPMScheduler uses alpha_prod_prev = 1.0 unconditionally at
+    the prev_t < 0 boundary, so both configs must produce the identical
+    final ancestral step."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (2, 4, 8, 2))
+    eps = jax.random.normal(jax.random.fold_in(rng, 2), (2, 4, 8, 2))
+    t = jnp.zeros((2,), jnp.int32)
+    tp = jnp.full((2,), -1, jnp.int32)
+    a = Schedule.create(ScheduleConfig(set_alpha_to_one=True))
+    b = Schedule.create(ScheduleConfig(set_alpha_to_one=False))
+    np.testing.assert_array_equal(
+        np.asarray(a.ddpm_step(rng, eps, t, tp, x)),
+        np.asarray(b.ddpm_step(rng, eps, t, tp, x)))
+    # DDIM keeps honoring the knob (the existing semantics)
+    da = np.asarray(a.ddim_step(eps, t, tp, x))
+    db = np.asarray(b.ddim_step(eps, t, tp, x))
+    assert not np.allclose(da, db)
