@@ -266,8 +266,9 @@ def _main(argv=None):
     }
     img_hw = pipe_image_size(pipe)
     report["image_size"] = list(img_hw)
-    spec = adapt_spec_to_model(
-        get_spec("nuscenes" if nus else "kitti360"), img_hw)
+    from rangeldm_tpu.sample_ldm import apply_meta_normalization
+    spec = apply_meta_normalization(adapt_spec_to_model(
+        get_spec("nuscenes" if nus else "kitti360"), img_hw), pipe["meta"])
 
     # 2. per-stage numeric report
     from rangeldm_tpu.evaluate import (

@@ -109,7 +109,9 @@ class RangePipeline:
         if self._spec is not None:
             return self._spec
         from rangeldm_tpu.geometry import get_spec
-        return get_spec(self.sensor)
+        from rangeldm_tpu.sample_ldm import apply_meta_normalization
+        return apply_meta_normalization(get_spec(self.sensor),
+                                        self._p.get("meta"))
 
     def _mesh_for_batch(self, batch_size: int):
         """The mesh a generation call with this batch size runs on. An

@@ -279,6 +279,20 @@ def resolve_sampling_mesh(mesh_devices: str, batch_size: int):
     return Mesh(np.asarray(local[:n]), ("data",)) if n > 1 else None
 
 
+def apply_meta_normalization(spec, meta):
+    """Override the registry spec's range normalization/encoding with the
+    artifact's own record (train_ldm save_final meta['normalization']): a
+    model trained with custom mean/std or log/inverse encoding would
+    otherwise back-project systematically mis-scaled clouds under the
+    sensor defaults. HF-released dirs carry no record -> no-op (their
+    models use the defaults)."""
+    norm = (meta or {}).get("normalization")
+    if not norm:
+        return spec
+    kw = {k: norm[k] for k in ("mean", "std", "log", "inverse") if k in norm}
+    return spec.replace(**kw)
+
+
 def adapt_spec_to_model(spec, image_size):
     """Reduce a registry SensorSpec to a model's (H, W) so the CLIs can
     back-project reduced-resolution models (the data pipeline's `width:`
@@ -365,7 +379,9 @@ def main():
     sample = build_sampler(pipe, args.batch_size, args.steps, args.method,
                            eta=args.eta, mesh=mesh)
     sensor = args.sensor or pipe["meta"].get("sensor", "kitti360")
-    spec = adapt_spec_to_model(get_spec(sensor), pipe_image_size(pipe))
+    spec = apply_meta_normalization(
+        adapt_spec_to_model(get_spec(sensor), pipe_image_size(pipe)),
+        pipe["meta"])
 
     # per-process sharding of the sample range (ldm/inference.py:159, 174)
     proc, nproc = jax.process_index(), jax.process_count()

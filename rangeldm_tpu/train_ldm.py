@@ -297,7 +297,9 @@ class LdmTrainer:
         shared by the conditional and unconditional dump paths."""
         dcfg = self.cfg.get("data", {})
         from rangeldm_tpu.geometry import get_spec
-        sp = get_spec(dcfg.get("sensor", self.spec.sensor))
+        sp = get_spec(dcfg.get("sensor", self.spec.sensor),
+                      log=bool(dcfg.get("log", False)),
+                      inverse=bool(dcfg.get("inverse", False)))
         return float(dcfg.get("mean", sp.mean)), float(dcfg.get("std", sp.std))
 
     @staticmethod
@@ -447,8 +449,20 @@ class LdmTrainer:
                    # user's head; a nuScenes checkpoint projected with
                    # kitti360 tables silently produces garbage clouds)
                    "sensor": self.cfg.get("data", {}).get(
-                       "sensor", self.spec.sensor)})
+                       "sensor", self.spec.sensor),
+                   # ... and the range normalization/encoding it was
+                   # trained with: a model trained with custom mean/std or
+                   # log/inverse encoding back-projects systematically
+                   # mis-scaled clouds under the sensor defaults
+                   "normalization": self._norm_record()})
         return path
+
+    def _norm_record(self) -> dict:
+        dcfg = self.cfg.get("data", {})
+        mean, std = self._dump_norm()
+        return {"mean": mean, "std": std,
+                "log": bool(dcfg.get("log", False)),
+                "inverse": bool(dcfg.get("inverse", False))}
 
 
 def main():
@@ -472,7 +486,11 @@ def main():
         used_feature=int(dcfg.get("used_feature", 2)),
         downsample=cfg.get("upsample"), inpainting=cfg.get("inpainting"),
         cache_compress=bool(dcfg.get("cache_compress", True)),
-        mean=dcfg.get("mean"), std=dcfg.get("std")), train=True)
+        mean=dcfg.get("mean"), std=dcfg.get("std"),
+        # the LDM stage must train on the SAME range encoding its frozen
+        # VAE was trained with (train_vae sets these from loss.encoding)
+        log=bool(dcfg.get("log", False)),
+        inverse=bool(dcfg.get("inverse", False))), train=True)
     bs = int(cfg.get("train_batch_size", 32))
     trainer = LdmTrainer(cfg)
 
@@ -492,7 +510,7 @@ def main():
             out_path=os.path.join(trainer.out_dir, "latent_moments.npy"),
             tag=(f"{params_fingerprint(trainer.vae_params)}"
                  f":{np.dtype(trainer.vae.dtype).name}"),
-            log=print)
+            log=print, mesh=trainer.mesh)
         loader = RangeLoader(MomentsDataset(moments), batch_size=bs,
                              shard_by_process=jax.process_count() > 1)
     else:

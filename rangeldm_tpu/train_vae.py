@@ -279,8 +279,18 @@ class VaeTrainer:
             xrec, _, _ = self.vae.apply({"params": params}, x, rng=rng)
             return jnp.mean(reconstruction_loss(x, xrec, self.loss_cfg))
 
-        live = self.state.gen_params["vae"]
+        # process-local eval: on multi-host runs the params are committed
+        # to the GLOBAL mesh, and this method runs on process 0 only — a
+        # jit over globally-committed params would raise 'incompatible
+        # devices' (or dispatch a collective no other process joins, while
+        # they wait in save_final's barrier). Pull a host copy onto this
+        # process's first device instead.
+        dev = jax.local_devices()[0]
+        live = jax.device_put(
+            jax.device_get(self.state.gen_params["vae"]), dev)
         ema = self.state.ema_params
+        if ema is not None:
+            ema = jax.device_put(jax.device_get(ema), dev)
         totals = {"val/rec_loss": 0.0, "val/rec_loss_ema": 0.0}
         n = 0
         rng = jax.random.PRNGKey(1234)
@@ -308,12 +318,17 @@ class VaeTrainer:
         ckpt.save(os.path.abspath(path) + "/params",
                   jax.tree.map(np.asarray, state.gen_params["vae"]))
         ckpt.wait_until_finished()
-        save_safetensors(export_vae_state_dict(state.gen_params["vae"]),
-                         os.path.join(self.out_dir, "vae_sgm.safetensors"))
-        if state.ema_params is not None:
-            save_safetensors(export_vae_state_dict(state.ema_params),
-                             os.path.join(self.out_dir,
-                                          "vae_sgm_ema.safetensors"))
+        # the orbax save above is collective (every process participates);
+        # the plain safetensors writes are not — two processes writing the
+        # same shared-fs file can interleave, so only process 0 writes
+        if jax.process_index() == 0:
+            save_safetensors(
+                export_vae_state_dict(state.gen_params["vae"]),
+                os.path.join(self.out_dir, "vae_sgm.safetensors"))
+            if state.ema_params is not None:
+                save_safetensors(export_vae_state_dict(state.ema_params),
+                                 os.path.join(self.out_dir,
+                                              "vae_sgm_ema.safetensors"))
         return path
 
 

@@ -70,7 +70,8 @@ def dataset_fingerprint(dataset) -> str:
 def precompute_moments(vae, vae_params, dataset, batch_size: int = 32,
                        out_path: Optional[str] = None,
                        tag: str = "", log=None,
-                       data_tag: Optional[str] = None) -> np.ndarray:
+                       data_tag: Optional[str] = None,
+                       mesh=None) -> np.ndarray:
     """One ordered encode pass over `dataset` -> (N, h, w, 2z) float32.
 
     With `out_path` the result is a reusable .npy written atomically
@@ -106,8 +107,20 @@ def precompute_moments(vae, vae_params, dataset, batch_size: int = 32,
             pass
 
     from rangeldm_tpu.data.datasets import RangeLoader
+    # shard each encode batch over the training mesh (single-host): with
+    # replicated params and an unsharded batch every chip would redundantly
+    # encode the FULL batch — N x the necessary FLOPs for a pass whose
+    # whole point is saving encoder time. Multi-host keeps the simple
+    # every-process-full-pass behavior (the cache write is atomic,
+    # last-complete-file-wins).
+    in_shd = None
+    if (mesh is not None and mesh.size > 1 and jax.process_count() == 1
+            and batch_size % mesh.size == 0):
+        from rangeldm_tpu.parallel.mesh import data_sharding
+        in_shd = data_sharding(mesh, 4)
     encode = jax.jit(
-        lambda x: vae.apply(vae_params, x, method="encode_moments"))
+        lambda x: vae.apply(vae_params, x, method="encode_moments"),
+        **({"in_shardings": (in_shd,)} if in_shd is not None else {}))
     loader = RangeLoader(dataset, batch_size=batch_size, shuffle=False,
                          drop_last=False)
     moments = None

@@ -204,12 +204,20 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
                                            _bev_three_channel(vox_rec))
                 else:
                     p_loss = perceptual_fn(batch, xrec)
-                if jnp.ndim(p_loss) == 1:          # (B,) -> broadcast over HW
-                    p_loss = p_loss[:, None, None]
                 extra["p_loss"] = jnp.mean(p_loss)
+                if jnp.ndim(p_loss) == 1:          # (B,) -> broadcast over HW
+                    # the reference adds p_loss to the ELEMENTWISE
+                    # (B, C, H, W) rec map (losses/__init__.py:164-199);
+                    # ours is already channel-summed to (B, H, W), so the
+                    # per-sample term must carry the channel multiplicity
+                    # or the effective perceptual weight (and through it
+                    # the adaptive d_weight) would shrink by C
+                    p_loss = p_loss[:, None, None] * cfg.used_feature
                 rec = rec + cfg.perceptual_weight * p_loss
 
-            nll = rec / jnp.exp(logvar) + logvar
+            # logvar enters once per element of the reference's (B, C, H, W)
+            # map; rec here is channel-summed over C=used_feature
+            nll = rec / jnp.exp(logvar) + cfg.used_feature * logvar
             nll_loss = jnp.sum(nll) / batch.shape[0]
             if cfg.bev_rec_weight > 0:
                 bev = cfg.bev_rec_weight * jnp.abs(vox_in[:, 0] - vox_rec[:, 0])
@@ -353,7 +361,13 @@ def make_vae_gan_steps(vae: AutoencoderKL, disc_apply: Callable,
                    "batch_stats": stats1["batch_stats"]}
             logits_fake, stats2 = disc_apply(dv2, d_fake, train=True,
                                              mutable=True)
-            df = disc_factor_at(state.step)
+            # gen_step incremented step already, so gate at step - 1: both
+            # halves of batch i must share the same global_step (the
+            # reference's adopt_weight uses one global_step for both,
+            # losses/__init__.py:316-336) — otherwise the discriminator
+            # would activate one batch earlier than the generator's
+            # adversarial term at the disc_start boundary
+            df = disc_factor_at(state.step - 1)
             d_loss = df * d_loss_fn(logits_real, logits_fake)
             metrics = {"disc_loss": d_loss,
                        "logits_real": jnp.mean(logits_real),

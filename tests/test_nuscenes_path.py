@@ -183,6 +183,11 @@ def test_train_ldm_nuscenes_config(monkeypatch, tmp_path, nuscenes_tree):
     with open(os.path.join(out, "pipeline", "model_index.json")) as f:
         meta = json.load(f)
     assert meta["sensor"] == "nuscenes"
+    # ... and the normalization it trained with (nuScenes 50/50), so the
+    # sampling CLI back-projects with the right affine
+    assert meta["normalization"]["mean"] == 50.0
+    assert meta["normalization"]["std"] == 50.0
+    assert meta["normalization"]["log"] is False
 
 
 @pytest.mark.heavy

@@ -203,3 +203,20 @@ def test_range_pipeline_mesh_auto_adapts_to_batch():
     strict = RangePipeline(dict(pipe_d), dtype=jnp.float32, mesh=make_mesh(8))
     with pytest.raises(ValueError, match="not divisible"):
         strict(batch_size=6, num_inference_steps=2)
+
+
+def test_apply_meta_normalization():
+    """The artifact's normalization record must override the registry
+    sensor defaults at back-projection (a model trained with custom
+    mean/std or log encoding mis-scales every cloud under the defaults);
+    artifacts without the record (HF-released dirs) pass through."""
+    from rangeldm_tpu.geometry import get_spec
+    from rangeldm_tpu.sample_ldm import apply_meta_normalization
+    spec = get_spec("kitti360")
+    out = apply_meta_normalization(
+        spec, {"normalization": {"mean": 50.0, "std": 50.0, "log": True,
+                                 "inverse": False}})
+    assert (out.mean, out.std, out.log, out.inverse) == (50.0, 50.0, True,
+                                                         False)
+    assert apply_meta_normalization(spec, {}) is spec
+    assert apply_meta_normalization(spec, None) is spec

@@ -172,3 +172,59 @@ def test_adaptive_weight_fast_path_equals_full_decode(rng):
     np.testing.assert_allclose(np.asarray(vjp_fast(cot)[0]),
                                np.asarray(vjp_full(cot)[0]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_disc_gating_shares_the_global_step(rng):
+    """Both halves of batch i must gate the GAN terms at the SAME global
+    step (the reference's adopt_weight sees one global_step for gen and
+    disc): gen_step increments before disc_step runs, so with
+    disc_start=1 the first batch's disc loss must still be gated to zero
+    and the second batch's must be live."""
+    state, gen_step, disc_step = build(disc_start=1)
+    batch = jnp.asarray(rng.standard_normal((2, 16, 64, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    state, gm = jax.jit(gen_step)(state, batch, key)
+    assert float(gm["disc_factor"]) == 0.0
+    state, dm = jax.jit(disc_step)(state, batch, key)
+    assert float(dm["disc_loss"]) == 0.0, "disc activated a batch early"
+    state, gm = jax.jit(gen_step)(state, batch, key)
+    assert float(gm["disc_factor"]) == 1.0
+    state, dm = jax.jit(disc_step)(state, batch, key)
+    assert float(dm["disc_loss"]) != 0.0
+
+
+def test_perceptual_term_counts_channel_multiplicity(rng):
+    """The reference adds p_loss to the elementwise (B, C, H, W) rec map;
+    our channel-summed map must carry the xC multiplicity or the
+    effective perceptual weight halves at used_feature=2. With the GAN
+    term gated off, total_loss(w=1) - total_loss(w=0) == C * H * W *
+    p_loss_per_sample_mean for a constant perceptual fn."""
+    import optax
+    from rangeldm_tpu.training.vae_trainer import (
+        VaeLossConfig, create_vae_gan_state, make_disc_apply,
+        make_vae_gan_steps,
+    )
+    from rangeldm_tpu.models.vae import AutoencoderKL, VaeConfig
+    from rangeldm_tpu.models.discriminator import NLayerDiscriminatorMetaKernel
+    vae_cfg = VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4)
+    vae = AutoencoderKL(vae_cfg)
+    disc = NLayerDiscriminatorMetaKernel(ndf=16, n_layers=2)
+    x0 = jnp.zeros((2, 16, 64, 2))
+    vae_params = vae.init({"params": jax.random.PRNGKey(0)}, x0,
+                          rng=jax.random.PRNGKey(1))
+    disc_vars = disc.init(jax.random.PRNGKey(2), x0)
+    batch = jnp.asarray(rng.standard_normal((2, 16, 64, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    const = 0.37
+    totals = {}
+    for w in (0.0, 1.0):
+        cfg = VaeLossConfig(disc_start=10**9, perceptual_weight=w)
+        state = create_vae_gan_state(vae_params, disc_vars,
+                                     optax.adam(1e-4), optax.adam(1e-4), cfg)
+        gen_step, _ = make_vae_gan_steps(
+            vae, make_disc_apply(disc), optax.adam(1e-4), optax.adam(1e-4),
+            cfg, perceptual_fn=lambda a, b: const * jnp.ones(a.shape[0]))
+        _, m = jax.jit(gen_step)(state, batch, key)
+        totals[w] = float(m["total_loss"])
+    expected = 2 * 16 * 64 * const          # C * H * W * p_loss mean
+    assert totals[1.0] - totals[0.0] == pytest.approx(expected, rel=1e-4)
