@@ -21,23 +21,20 @@ from rangeldm_tpu.data.datasets import DatasetConfig, RangeImageDataset, RangeLo
 from rangeldm_tpu.geometry import get_spec, to_point_cloud
 from rangeldm_tpu.metrics.chamfer import chamfer_distance
 from rangeldm_tpu.models.vae import AutoencoderKL, VaeConfig
-from rangeldm_tpu.utils.cache import enable_compilation_cache, init_on_cpu
+from rangeldm_tpu.utils.cache import enable_compilation_cache
 
 
-def load_vae(path: str, cfg: VaeConfig):
+def load_vae(path: str, cfg: VaeConfig, image_size=(64, 1024)):
+    """One loader for every VAE artifact — delegates to
+    train_ldm.load_vae_params, which handles sgm .ckpt / exported
+    .safetensors (converter; no template init needed), vae_final dirs,
+    and pipeline dirs (<dir>/vae/params). The old local copy eagerly ran
+    the minutes-long CPU init even on the converter branch that throws
+    the template away."""
+    from rangeldm_tpu.train_ldm import load_vae_params
     vae = AutoencoderKL(cfg)
-    template = init_on_cpu(vae.init, {"params": jax.random.PRNGKey(0)},
-                           np.zeros((1, 64, 1024, cfg.in_channels),
-                                    np.float32),
-                           rng=jax.random.PRNGKey(1))
-    if path.endswith(".ckpt") or path.endswith(".safetensors"):
-        from rangeldm_tpu.convert.sgm_vae import load_sgm_vae
-        return vae, jax.tree.map(jnp.asarray, load_sgm_vae(path))
-    import orbax.checkpoint as ocp
-    ckpt = ocp.StandardCheckpointer()
-    params = ckpt.restore(os.path.abspath(path) + "/params",
-                          template["params"])
-    return vae, {"params": params}
+    shape = (image_size[0], image_size[1], cfg.in_channels)
+    return vae, load_vae_params(vae, path, shape)
 
 
 def evaluate(vae, params, batches, spec, count: int = 1000,
@@ -78,6 +75,9 @@ def evaluate(vae, params, batches, spec, count: int = 1000,
         seen += take
         if seen >= count:
             break
+    if seen == 0:
+        raise SystemExit("no held-out eval scans found (check --data: the "
+                         "eval split is drives 0000/0002)")
     n = min(seen, count)
     return {"mae": mae / n, "psnr": psnr / n, "chamfer": cd / n, "count": n}
 

@@ -87,14 +87,17 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     results = {}
-    sample_files = sorted(glob.glob(os.path.join(args.exp, "*.bin")))
-    if args.nus:
-        sample_files = sample_files[:args.limit]
     hist_fn = nuscenes_histogram if args.nus else kitti_histogram
     ref_fn = nuscenes_reference_files if args.nus else kitti_reference_files
     ref_feats = 5 if args.nus else 4
 
     if args.mmd or args.jsd:
+        # integer index order + --limit on BOTH datasets: a lexicographic
+        # sorted(glob)[:limit] over the CLI's unpadded {i}.bin names picks
+        # the {0, 1, 10, 100, ...} subset, not the reference's first-N;
+        # also errors on an empty/wrong --exp instead of scoring []
+        from rangeldm_tpu.metrics.frd_pipeline import generated_sample_files
+        sample_files = generated_sample_files(args.exp, args.limit)
         gen_h = histograms(sample_files, hist_fn)
         ref_h = histograms(ref_fn(len(sample_files)), hist_fn, ref_feats)
         if args.mmd:
@@ -126,30 +129,40 @@ def main(argv=None):
                 else "densification"
         scores = compute_segmentation_scores(
             args.exp, prefix, args.rangenet, sensor=args.sensor,
-            limit=args.limit,
-            encoding=args.encoding if args.encoding != "none" else "linear")
+            limit=args.limit, encoding=args.encoding)
         if args.iou:
             results["iou"] = scores["iou"]
         if args.accuracy:
             results["accuracy"] = scores["accuracy"]
 
     if args.mae or args.inpainting_mae:
+        from rangeldm_tpu.metrics.frd_pipeline import _dump_files
         from rangeldm_tpu.metrics.mae import densification_mae, inpainting_mae
 
-        def load_stack(prefix, sub):
-            files = sorted(glob.glob(
-                os.path.join(args.exp, f"{prefix}_{sub}", "*.npy")))
-            arr = np.stack([np.load(f) for f in files])
-            return arr[..., 0] if arr.ndim == 4 else arr    # range channel
+        def load_pair(prefix):
+            """result/target stacks paired by integer filename index (the
+            reference pairs by index, iou.py) with --limit honored; equal
+            counts alone cannot prove alignment."""
+            rf = _dump_files(args.exp, prefix, "result", args.limit)
+            tf = _dump_files(args.exp, prefix, "target", args.limit)
+            rn = [os.path.basename(f) for f in rf]
+            tn = [os.path.basename(f) for f in tf]
+            if rn != tn:
+                raise SystemExit(
+                    f"{prefix} result/target dumps are not the same index "
+                    f"set; differing: {sorted(set(rn) ^ set(tn))[:8]}")
+
+            def stack(files):
+                arr = np.stack([np.load(f) for f in files])
+                return arr[..., 0] if arr.ndim == 4 else arr  # range channel
+            return stack(rf), stack(tf)
 
         if args.mae:
-            res = load_stack("densification", "result")
-            tgt = load_stack("densification", "target")
+            res, tgt = load_pair("densification")
             results.update(densification_mae(res, tgt,
                                              encoding=args.encoding))
         if args.inpainting_mae:
-            res = load_stack("inpainting", "result")
-            tgt = load_stack("inpainting", "target")
+            res, tgt = load_pair("inpainting")
             results["inpainting_mae"] = inpainting_mae(
                 res, tgt, encoding=args.encoding)
 

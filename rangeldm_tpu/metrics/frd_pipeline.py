@@ -179,6 +179,11 @@ def compute_segmentation_scores(sample_dir: str, prefix: str,
     )
     spec = get_spec(sensor, log=encoding == "log",
                     inverse=encoding == "inverse")
+    if encoding == "none":
+        # raw-meter dumps: identity denormalization (the --mae path's
+        # _decode('none') analogue) — remapping 'none' to linear would
+        # back-project 40*v+20 instead of v, silently
+        spec = spec.replace(mean=0.0, std=1.0)
     res_files = _dump_files(sample_dir, prefix, "result", limit)
     tgt_files = _dump_files(sample_dir, prefix, "target", limit)
     rn = [os.path.basename(f) for f in res_files]

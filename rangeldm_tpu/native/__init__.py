@@ -117,6 +117,13 @@ def range_image_native(pc: np.ndarray, spec) -> Tuple[np.ndarray, np.ndarray,
         raise ValueError(
             f"ring-mode spec {spec.name!r} needs 5-column clouds "
             f"(x,y,z,intensity,ring); got stride {stride}")
+    if stride < 4:
+        # every mode reads pc[i*stride + 3] as intensity; an xyz-only
+        # cloud would read the next point's x (and one float past the
+        # allocation for the last point) instead of raising like numpy
+        raise ValueError(
+            f"projection needs >=4-column clouds (x,y,z,intensity); "
+            f"got stride {stride}")
     h, w = spec.n_beams, spec.width
     image = np.empty((h, w, 2), np.float32)
     mask = np.empty((h, w), np.uint8)

@@ -111,8 +111,13 @@ void project_scan(const float* pc, int64_t n, int64_t stride,
           const bool go_right = desc ? (incl[m] > a0) : (incl[m] < a0);
           if (go_right) l = m; else r = m;
         }
-        lo = std::max(0, l - 4);
-        hi = std::min(n_beams - 1, r + 4);
+        // window width: the caller-side spread guard admits points with
+        // angular error up to ~3x the AVERAGE beam pitch, but the KITTI
+        // table's local spacing dips to ~0.6x average, so the true argmin
+        // can sit up to ~5-6 indices from the bracket; +-8 makes the
+        // windowed search provably cover it (numpy does the exact argmin)
+        lo = std::max(0, l - 8);
+        hi = std::min(n_beams - 1, r + 8);
       }
       for (int b = lo; b <= hi; ++b) {
         const float err = std::fabs(incl[b] - std::atan2(height[b] - z, xy));
@@ -127,14 +132,17 @@ void project_scan(const float* pc, int64_t n, int64_t stride,
       const float zen = std::asin(z / (r0 > 1e-12f ? r0 : 1e-12f));
       const float fov = fov_up - fov_down;
       float rf = n_beams - 0.5f - (zen - fov_down) / fov * n_beams;
-      int32_t r = (int32_t)std::lround(rf);
+      // nearbyint = round-half-to-EVEN (the numpy path's np.round);
+      // lround's half-away-from-zero binned exact .5 fractions into the
+      // neighbouring row/col and broke bit-parity with range_image_np
+      int32_t r = (int32_t)std::nearbyintf(rf);
       row = r < 0 ? 0 : (r >= n_beams ? n_beams - 1 : r);
     }
     rows[i] = row;
 
     const float azi = std::atan2(y, x);
     float cf = w - 0.5f - (azi + pi) / two_pi * w;
-    int32_t col = (int32_t)std::lround(cf);
+    int32_t col = (int32_t)std::nearbyintf(cf);   // half-to-even, like np.round
     if (col >= w) col = w - 1;
     if (col < 0) col = 0;
     cols[i] = col;

@@ -71,6 +71,20 @@ def to_local_np(x) -> np.ndarray:
     each process sees its own slice, as the reference's per-rank dumps
     would (accelerate gather is never used for image logging)."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        shards = sorted(x.addressable_shards, key=lambda s: s.index)
-        return np.concatenate([np.asarray(s.data) for s in shards])
+        # dedup by index: a replicated (or partially-replicated) array has
+        # several addressable shards with the SAME index — concatenating
+        # them all would return an n_local_devices-fold duplicated batch
+        shards = {s.index: s for s in x.addressable_shards}
+        for idx in shards:
+            # only leading-axis sharding concatenates correctly; anything
+            # else (e.g. a W-sharded activation) must fail loudly, not
+            # return a silently scrambled array
+            for sl in idx[1:]:
+                if sl != slice(None):
+                    raise ValueError(
+                        "to_local_np supports batch(axis-0)-sharded or "
+                        f"replicated arrays; got shard index {idx}")
+        ordered = sorted(shards.values(),
+                         key=lambda s: (s.index[0].start or 0))
+        return np.concatenate([np.asarray(s.data) for s in ordered])
     return np.asarray(x)

@@ -159,9 +159,10 @@ def score_samples(out_dir: str, data_root: str, nus: bool, limit: int,
     from rangeldm_tpu.metrics.jsd import compute_jsd
     from rangeldm_tpu.metrics.mmd import compute_mmd
 
-    sample_files = sorted(
-        globmod.glob(os.path.join(out_dir, "*.bin")))[:limit]
-    if not sample_files:
+    from rangeldm_tpu.metrics.frd_pipeline import generated_sample_files
+    try:
+        sample_files = generated_sample_files(out_dir, limit)
+    except FileNotFoundError:
         raise RuntimeError(
             f"no generated .bin samples in {out_dir} — sampling wrote "
             f"nothing, or --skip_sampling pointed --out at the wrong dir")

@@ -72,3 +72,31 @@ def test_native_tie_break_matches_numpy(rng):
     img_n, _, _ = native.range_image_native(pc, spec)
     img_p, _, _ = range_image_np(pc, spec)
     np.testing.assert_allclose(img_n, img_p, rtol=1e-5, atol=1e-5)
+
+
+def test_native_rounding_parity_at_scale(rng):
+    """np.round is half-to-EVEN; the C++ core must round the same way
+    (std::nearbyint, not lround's half-away-from-zero) — at 200k points a
+    handful land on exact .5 column/row fractions and used to bin into
+    the neighbouring pixel (2/200k mismatches). Also covers the widened
+    kitti beam-search window."""
+    from rangeldm_tpu import native
+    from rangeldm_tpu.geometry import get_spec, range_image_np
+    pc = synthetic_scan(rng, n=200000)
+    spec = get_spec("kitti360")
+    img_n, mask_n, cw_n = range_image_np(pc, spec)
+    img_c, mask_c, cw_c = native.range_image_native(pc, spec)
+    np.testing.assert_array_equal(mask_n, mask_c)
+    np.testing.assert_array_equal(img_n, img_c)
+    np.testing.assert_array_equal(cw_n, cw_c)
+
+
+def test_native_rejects_xyz_only_clouds(rng):
+    """An (N, 3) cloud must raise like the numpy path does — the C++ core
+    would otherwise read the next point's x as intensity (and one float
+    past the buffer for the last point)."""
+    from rangeldm_tpu import native
+    from rangeldm_tpu.geometry import get_spec
+    pc = synthetic_scan(rng, n=1000)[:, :3].copy()
+    with pytest.raises(ValueError, match="4-column"):
+        native.range_image_native(pc, get_spec("kitti360"))
