@@ -166,6 +166,10 @@ def main(argv=None):
             results["inpainting_mae"] = inpainting_mae(
                 res, tgt, encoding=args.encoding)
 
+    # metric fns may return numpy scalars (np.float32 is not JSON
+    # serializable) — emit plain floats like the reference CLI prints
+    results = {k: float(v) if isinstance(v, (np.floating, np.integer))
+               else v for k, v in results.items()}
     print(json.dumps(results))
     return results
 

@@ -72,9 +72,13 @@ class RangePipeline:
         if isinstance(mesh, str):
             if mesh != "auto":
                 raise ValueError("mesh must be a Mesh, None, or 'auto'")
-            from rangeldm_tpu.parallel.mesh import make_mesh
-            n = len(jax.local_devices())
-            mesh = make_mesh(n) if n > 1 else None
+            # THIS process's devices (like the CLI's resolve_sampling_mesh):
+            # make_mesh slices jax.devices(), which on a multi-host pod
+            # would hand every process host 0's (non-addressable) chips
+            from jax.sharding import Mesh
+            local = jax.local_devices()
+            mesh = (Mesh(np.asarray(local), ("data",))
+                    if len(local) > 1 else None)
             mesh_auto = mesh is not None
         return cls(load_any_pipeline(path, dtype=dtype, use_ema=use_ema),
                    sensor=sensor, dtype=dtype, spec=spec, mesh=mesh,
@@ -109,9 +113,16 @@ class RangePipeline:
         if self._spec is not None:
             return self._spec
         from rangeldm_tpu.geometry import get_spec
-        from rangeldm_tpu.sample_ldm import apply_meta_normalization
-        return apply_meta_normalization(get_spec(self.sensor),
-                                        self._p.get("meta"))
+        from rangeldm_tpu.sample_ldm import (
+            adapt_spec_to_model, apply_meta_normalization, pipe_image_size,
+        )
+        # adapt to the MODEL's (H, W) like the sampling CLI: a reduced-
+        # resolution model against the sensor's full beam table would
+        # crash to_point_clouds with an opaque broadcast error
+        return apply_meta_normalization(
+            adapt_spec_to_model(get_spec(self.sensor),
+                                pipe_image_size(self._p)),
+            self._p.get("meta"))
 
     def _mesh_for_batch(self, batch_size: int):
         """The mesh a generation call with this batch size runs on. An

@@ -86,6 +86,27 @@ def build_conditional_sampler(pipe, batch_size: int, mode: str,
     return sample
 
 
+def conditional_dataset_config(pipe, data_root: str, sensor: str, mode: str,
+                               factor: int, mask_rate: float) -> DatasetConfig:
+    """The dataset must produce conditions in the SAME normalization /
+    encoding / width / channel count the model was trained with — the
+    artifact records them (train_ldm save_final meta['normalization'] and
+    the VAE config); a log/inverse- or custom-mean/std-trained model fed
+    default-encoded conditions would silently write wrong triplets for
+    the MAE evaluation. HF dirs carry no record -> sensor defaults."""
+    from rangeldm_tpu.sample_ldm import pipe_image_size
+    norm = (pipe.get("meta") or {}).get("normalization") or {}
+    _, model_w = pipe_image_size(pipe)
+    used = pipe["vae_cfg"].in_channels if pipe["vae_cfg"] else 2
+    return DatasetConfig(
+        root=data_root, sensor=sensor, width=model_w, used_feature=used,
+        downsample=factor if mode == "upsample" else None,
+        inpainting=mask_rate if mode == "inpainting" else None,
+        mean=norm.get("mean"), std=norm.get("std"),
+        log=bool(norm.get("log", False)),
+        inverse=bool(norm.get("inverse", False)))
+
+
 def main():
     from rangeldm_tpu.utils.cache import honor_jax_platforms_env
     honor_jax_platforms_env()
@@ -118,24 +139,34 @@ def main():
     for sub in ("result", "target", "input"):
         os.makedirs(os.path.join(args.out, f"{prefix}_{sub}"), exist_ok=True)
 
-    ds = RangeImageDataset(DatasetConfig(
-        root=args.data, sensor=args.sensor,
-        downsample=args.factor if args.mode == "upsample" else None,
-        inpainting=args.mask_rate if args.mode == "inpainting" else None),
+    ds = RangeImageDataset(
+        conditional_dataset_config(pipe, args.data, args.sensor, args.mode,
+                                   args.factor, args.mask_rate),
         train=False)
     loader = RangeLoader(ds, batch_size=args.batch_size, shuffle=True,
                          seed=0)
 
-    idx = 0
-    for batch in loader:
+    # per-process batch striding (the PartialState sharding of the
+    # reference's conditional inference): every process walks the same
+    # seed-0 order but computes/writes only its stride, with GLOBAL
+    # sample indices so the triplet files never collide across hosts
+    proc, nproc = jax.process_index(), jax.process_count()
+    written = 0
+    covered = 0
+    for bi, batch in enumerate(loader):
+        if covered >= args.samples:
+            break
+        covered = min((bi + 1) * args.batch_size, args.samples)
+        if bi % nproc != proc:
+            continue
         cond_inputs = {k: jnp.asarray(v) for k, v in batch.items()
                        if k in ("down", "masked_image", "inpainting_mask")}
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), idx)
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), bi)
         result = np.asarray(sample(rng, cond_inputs), np.float32)
         for j in range(result.shape[0]):
+            idx = bi * args.batch_size + j
             if idx >= args.samples:
-                print(f"wrote {idx} conditional samples to {args.out}")
-                return
+                break
             np.save(os.path.join(args.out, f"{prefix}_result", f"{idx}.npy"),
                     result[j])
             np.save(os.path.join(args.out, f"{prefix}_target", f"{idx}.npy"),
@@ -143,10 +174,11 @@ def main():
             inp = batch.get("down", batch.get("masked_image"))[j]
             np.save(os.path.join(args.out, f"{prefix}_input", f"{idx}.npy"),
                     inp)
-            idx += 1
-    print(f"wrote {idx} conditional samples to {args.out}")
-    if idx < args.samples:
-        print(f"warning: dataset exhausted at {idx} < requested "
+            written += 1
+    print(f"process {proc}/{nproc}: wrote {written} conditional samples "
+          f"to {args.out}")
+    if covered < args.samples:
+        print(f"warning: dataset exhausted at {covered} < requested "
               f"{args.samples} samples", file=sys.stderr)
 
 

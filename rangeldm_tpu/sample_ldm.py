@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rangeldm_tpu.diffusion.schedule import Schedule, ScheduleConfig
-from rangeldm_tpu.geometry import get_spec, to_point_cloud, to_voxel
+from rangeldm_tpu.geometry import get_spec, to_voxel
 from rangeldm_tpu.models.unet import UNet2D, UNetConfig
 from rangeldm_tpu.models.vae import AutoencoderKL, VaeConfig
 from rangeldm_tpu.pipelines.samplers import ddim_sample, ddpm_sample, latent_sample

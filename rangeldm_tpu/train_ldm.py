@@ -12,8 +12,6 @@ pipeline directory artifact.
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import json
 import os
 import re
 import time
@@ -219,20 +217,64 @@ class LdmTrainer:
 
     # ------------------------------------------------------------------
     def resume(self) -> int:
-        if self.cfg.get("resume_from_checkpoint"):
-            restored = self.ckpt.restore(jax.device_get(self.state))
-            if restored is not None:
-                self.state = jax.device_put(restored, self._shard_repl)
-                return int(self.state.step)
-        return 0
+        """Honor resume_from_checkpoint's VALUE (accelerate's grammar,
+        ldm/train_unconditional.py:560-585): true/'latest' -> this run's
+        newest checkpoint (fresh start when none — a preemptible job sets
+        the flag before its first checkpoint exists); an int or digit
+        string -> that step of this run; a path -> that checkpoints root
+        or a single 'checkpoint_N' dir. An explicitly named checkpoint
+        that is missing is an ERROR, never a silent step-0 restart."""
+        want = self.cfg.get("resume_from_checkpoint")
+        if not want:
+            return 0
+        ckpt, step, explicit = self.ckpt, None, False
+        if want not in (True, "latest"):
+            explicit = True
+            s = str(want)
+            if s.isdigit():
+                step = int(s)
+            else:
+                import re
+                path = os.path.abspath(s.rstrip("/"))
+                m = re.search(r"checkpoint[-_](\d+)$", os.path.basename(path))
+                if m:
+                    step = int(m.group(1))
+                    path = os.path.dirname(path)
+                ckpt = TrainCheckpointer(path)
+        if step is not None and ckpt.latest_step() is None:
+            raise FileNotFoundError(
+                f"resume_from_checkpoint={want!r}: no checkpoints found")
+        restored = ckpt.restore(jax.device_get(self.state), step=step)
+        if restored is None:
+            if explicit:
+                raise FileNotFoundError(
+                    f"resume_from_checkpoint={want!r}: checkpoint not found")
+            return 0
+        self.state = jax.device_put(restored, self._shard_repl)
+        return int(self.state.step)
 
     def _dump_sharding(self, batch_size: int):
         """Batch sharding for in-training sample dumps: reuse the training
         mesh when it divides the dump batch (so the dump runs on all chips
-        like the train step), else fall back to single-device."""
+        like the train step), else fall back to single-device. Multi-host
+        dumps are per-process (each host writes its own grid), so they
+        must NOT compile a global-mesh program — its output would span
+        non-addressable devices and the host fetch would raise."""
+        if jax.process_count() > 1:
+            return None
         if self.mesh.size > 1 and batch_size % self.mesh.size == 0:
             return self._shard_data
         return None
+
+    @staticmethod
+    def _dump_params(params):
+        """Params for a per-process dump program: on multi-host runs the
+        train params are committed to the GLOBAL mesh — pull a host copy
+        (legal for fully-replicated arrays) so the single-device dump jit
+        never mixes global-committed and local arrays."""
+        if jax.process_count() > 1:
+            return jax.device_get(params)
+        return params
 
     def make_sample_fn(self, batch_size: int = 8, num_steps: int = 50):
         """Jitted sampler over the CURRENT ema (or live) params — the
@@ -322,7 +364,8 @@ class LdmTrainer:
                 n, num_steps=int(self.cfg.get("ddpm_num_inference_steps", 50)))
         params = self.state.ema_params if self.state.ema_params is not None \
             else self.state.params
-        result = np.asarray(fn(params, jax.random.PRNGKey(step), cond_inputs),
+        result = np.asarray(fn(self._dump_params(params),
+                               jax.random.PRNGKey(step), cond_inputs),
                             np.float32)
         mean, std = self._dump_norm()
         base = os.path.join(self.out_dir, "samples")
@@ -358,9 +401,15 @@ class LdmTrainer:
             sample_fn = self._sample_fn = getattr(
                 self, "_sample_fn", None) or self.make_sample_fn(
                 num_steps=int(self.cfg.get("ddpm_num_inference_steps", 50)))
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # unconditional dumps are seed-deterministic, so every process
+            # would write the identical grid — one writer avoids racing
+            # non-atomic writes of the same shared-fs file
+            return None
         params = self.state.ema_params if self.state.ema_params is not None \
             else self.state.params
-        imgs = np.asarray(sample_fn(params, jax.random.PRNGKey(step)),
+        imgs = np.asarray(sample_fn(self._dump_params(params),
+                                    jax.random.PRNGKey(step)),
                           np.float32)
         path = os.path.join(self.out_dir, "samples",
                             f"samples_step{step:08d}.png")
@@ -522,6 +571,8 @@ def main():
                              shard_by_process=jax.process_count() > 1)
 
     start = trainer.resume()
+    if start:
+        print(f"[resume] restored step {start}")
     steps_per_epoch = len(loader)
     total = int(cfg.get("num_epochs", 1000)) * steps_per_epoch
 

@@ -143,3 +143,29 @@ def test_segmentation_iou_self_consistency(rng):
     assert segmentation_accuracy(labels, labels) == 1.0
     other = (labels + 1) % 20
     assert segmentation_iou(other, labels) == 0.0
+
+
+def test_evaluate_mae_cli(tmp_path, rng):
+    """--mae through main(): index-paired loading, --limit honored, and a
+    JSON-serializable result (np.float32 leaking from the metric fns used
+    to crash json.dumps — caught by an end-to-end CLI drive)."""
+    import json as json_mod
+    res_d = tmp_path / "densification_result"
+    tgt_d = tmp_path / "densification_target"
+    res_d.mkdir(), tgt_d.mkdir()
+    for i in list(range(3)) + [10]:   # unpadded names incl. a 2-digit one
+        np.save(res_d / f"{i}.npy",
+                rng.standard_normal((8, 16, 1)).astype(np.float32))
+        np.save(tgt_d / f"{i}.npy",
+                rng.standard_normal((8, 16, 1)).astype(np.float32))
+    from rangeldm_tpu.evaluate import main
+    res = main(["--exp", str(tmp_path), "--mae", "--encoding", "linear",
+                "--limit", "3"])
+    json_mod.dumps(res)                      # plain floats only
+    assert np.isfinite(res["mae"]) and res["mae"] > 0
+    assert "mae_bicubic" in res and "mae_nearest" in res
+    # mismatched index sets must error, not pair by position
+    (res_d / "10.npy").rename(res_d / "11.npy")
+    with pytest.raises(SystemExit, match="index set"):
+        main(["--exp", str(tmp_path), "--mae", "--encoding", "linear",
+              "--limit", "4"])

@@ -488,3 +488,32 @@ def test_upsample_factor_must_match_vae_down_factor(tmp_path):
     })
     with pytest.raises(ValueError, match="down factor"):
         LdmTrainer(cfg)
+
+
+def test_conditional_dataset_config_honors_artifact(rng, tmp_path):
+    """The conditional CLI's dataset must reproduce the TRAINING
+    normalization/encoding/width/channels recorded in the artifact — a
+    log- or custom-mean/std-trained model fed default-encoded conditions
+    silently writes wrong MAE triplets."""
+    from rangeldm_tpu.sample_conditional import conditional_dataset_config
+    from rangeldm_tpu.models.vae import VaeConfig
+    pipe = {
+        "meta": {"normalization": {"mean": 50.0, "std": 50.0, "log": True,
+                                   "inverse": False}},
+        "vae_cfg": VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4,
+                             in_channels=2),
+        "unet_cfg": TINY_UPSAMPLE.unet,
+    }
+    dc = conditional_dataset_config(pipe, "/data", "kitti360", "upsample",
+                                    factor=2, mask_rate=0.0625)
+    assert (dc.mean, dc.std, dc.log, dc.inverse) == (50.0, 50.0, True, False)
+    assert dc.width == TINY_UPSAMPLE.unet.sample_size[1] * 2   # vae factor
+    assert dc.used_feature == 2
+    assert dc.downsample == 2 and dc.inpainting is None
+    # HF dirs record nothing -> sensor defaults (None lets the spec decide)
+    dc = conditional_dataset_config({"meta": {}, "vae_cfg": pipe["vae_cfg"],
+                                     "unet_cfg": pipe["unet_cfg"]},
+                                    "/data", "kitti360", "inpainting",
+                                    factor=4, mask_rate=0.0625)
+    assert dc.mean is None and dc.std is None and dc.log is False
+    assert dc.inpainting == 0.0625 and dc.downsample is None
