@@ -27,6 +27,16 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def largest_divisible_prefix(n: int, batch_size: int) -> int:
+    """Largest k <= n with batch_size % k == 0 — THE 'auto' inference-mesh
+    policy, shared by the sampling CLI (resolve_sampling_mesh) and
+    RangePipeline._mesh_for_batch so they cannot silently diverge."""
+    n = int(n)
+    while n > 1 and batch_size % n:
+        n -= 1
+    return max(n, 1)
+
+
 def data_sharding(mesh: Mesh, ndim: int = 4, axis: str = "data") -> NamedSharding:
     """Batch-axis sharding for an activation of rank `ndim`."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
@@ -73,17 +83,20 @@ def to_local_np(x) -> np.ndarray:
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         # dedup by index: a replicated (or partially-replicated) array has
         # several addressable shards with the SAME index — concatenating
-        # them all would return an n_local_devices-fold duplicated batch
-        shards = {s.index: s for s in x.addressable_shards}
-        for idx in shards:
+        # them all would return an n_local_devices-fold duplicated batch.
+        # Key by (start, stop, step) tuples: shard.index is a tuple of
+        # slice objects, and slice is only hashable on Python >= 3.12.
+        shards = {tuple((sl.start, sl.stop, sl.step) for sl in s.index): s
+                  for s in x.addressable_shards}
+        for s in shards.values():
             # only leading-axis sharding concatenates correctly; anything
             # else (e.g. a W-sharded activation) must fail loudly, not
             # return a silently scrambled array
-            for sl in idx[1:]:
+            for sl in s.index[1:]:
                 if sl != slice(None):
                     raise ValueError(
                         "to_local_np supports batch(axis-0)-sharded or "
-                        f"replicated arrays; got shard index {idx}")
+                        f"replicated arrays; got shard index {s.index}")
         ordered = sorted(shards.values(),
                          key=lambda s: (s.index[0].start or 0))
         return np.concatenate([np.asarray(s.data) for s in ordered])

@@ -118,11 +118,15 @@ class RangePipeline:
         )
         # adapt to the MODEL's (H, W) like the sampling CLI: a reduced-
         # resolution model against the sensor's full beam table would
-        # crash to_point_clouds with an opaque broadcast error
-        return apply_meta_normalization(
+        # crash to_point_clouds with an opaque broadcast error. Cache the
+        # result: it is immutable, and adapt_spec_to_model prints a
+        # one-line note for reduced models that would otherwise repeat on
+        # every to_point_clouds() call.
+        self._spec = apply_meta_normalization(
             adapt_spec_to_model(get_spec(self.sensor),
                                 pipe_image_size(self._p)),
             self._p.get("meta"))
+        return self._spec
 
     def _mesh_for_batch(self, batch_size: int):
         """The mesh a generation call with this batch size runs on. An
@@ -132,10 +136,9 @@ class RangePipeline:
         (single-device) when nothing does."""
         if self.mesh is None or not self._mesh_auto:
             return self.mesh
+        from rangeldm_tpu.parallel.mesh import largest_divisible_prefix
         devs = list(self.mesh.devices.flat)
-        n = len(devs)
-        while n > 1 and batch_size % n:
-            n -= 1
+        n = largest_divisible_prefix(len(devs), batch_size)
         if n <= 1:
             return None
         if n == len(devs):

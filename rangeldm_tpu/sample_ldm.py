@@ -266,12 +266,11 @@ def resolve_sampling_mesh(mesh_devices: str, batch_size: int):
     integer pins the count; <=1 device means no mesh (plain single-device
     jit)."""
     from jax.sharding import Mesh
+    from rangeldm_tpu.parallel.mesh import largest_divisible_prefix
     local = jax.local_devices()     # process-LOCAL mesh: composes with the
     n_local = len(local)            # per-process sample-range sharding below
     if str(mesh_devices).strip().lower() == "auto":
-        n = n_local
-        while n > 1 and batch_size % n:
-            n -= 1
+        n = largest_divisible_prefix(n_local, batch_size)
     else:
         n = int(mesh_devices)
         if n > n_local:
@@ -303,10 +302,14 @@ def adapt_spec_to_model(spec, image_size):
     if (spec.n_beams, spec.width) == (h, w):
         return spec
     kw = {"width": w}
+    if w != spec.width:
+        # scale the BEV grid with the azimuth count regardless of whether
+        # the beam count also changed, so width-only reduced models get the
+        # same density-preserving grid as height+width reduced ones
+        kw["grid_sizes"] = (1, max(2, spec.grid_sizes[1] * w // spec.width),
+                            max(2, spec.grid_sizes[2] * w // spec.width))
     if h != spec.n_beams:
-        kw.update(n_beams=h, height=spec.height[:h], zenith=spec.zenith[:h],
-                  grid_sizes=(1, max(2, spec.grid_sizes[1] * w // spec.width),
-                              max(2, spec.grid_sizes[2] * w // spec.width)))
+        kw.update(n_beams=h, height=spec.height[:h], zenith=spec.zenith[:h])
     import sys
     print(f"note: sensor '{spec.name}' reduced to model resolution "
           f"{h}x{w}", file=sys.stderr)

@@ -225,10 +225,13 @@ class LdmTrainer:
         or a single 'checkpoint_N' dir. An explicitly named checkpoint
         that is missing is an ERROR, never a silent step-0 restart."""
         want = self.cfg.get("resume_from_checkpoint")
-        if not want:
+        if want is None or want is False or want == "":
             return 0
         ckpt, step, explicit = self.ckpt, None, False
-        if want not in (True, "latest"):
+        # identity/str checks, NOT `want in (True, "latest")`: int 1 == True
+        # in Python, so a YAML `resume_from_checkpoint: 1` would silently
+        # restore the NEWEST checkpoint instead of step 1
+        if not (want is True or want == "latest"):
             explicit = True
             s = str(want)
             if s.isdigit():

@@ -212,7 +212,12 @@ class VaeTrainer:
                 os.path.join(self.out_dir, "images"),
                 every=int(self.cfg.log_images_every),
                 mean=float(self.sensor_spec.mean),
-                std=float(self.sensor_spec.std))
+                std=float(self.sensor_spec.std),
+                # each process dumps its own local slice (to_local_np
+                # below); a shared fs would race on one PNG path otherwise
+                # — same convention as train_ldm's _p{proc} sample dumps
+                suffix=(f"_p{jax.process_index()}"
+                        if jax.process_count() > 1 else ""))
         from rangeldm_tpu.training.loggers import (
             ScalarLogger, emergency_checkpoint,
         )

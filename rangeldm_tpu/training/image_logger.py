@@ -48,11 +48,16 @@ class ImageLogger:
 
     def __init__(self, out_dir: str, every: int = 1000,
                  increase_log_steps: bool = True, max_images: int = 8,
-                 mean: float = 20.0, std: float = 40.0):
+                 mean: float = 20.0, std: float = 40.0,
+                 suffix: str = ""):
         self.out_dir = out_dir
         self.every = every
         self.max_images = max_images
         self.mean, self.std = mean, std
+        # multi-host runs pass a per-process suffix (e.g. "_p0"): every
+        # process dumps its OWN batch slice, so a shared output_dir would
+        # otherwise have all processes racing on the same PNG path
+        self.suffix = suffix
         # reference log-scale early steps: 1, 2, 4, ..., up to `every`
         # (vae/main.py:329-331 log_steps = [2**n for n in range(log2(freq))])
         import math
@@ -68,5 +73,5 @@ class ImageLogger:
         for name, imgs in named_images.items():
             save_range_image_grid(
                 np.asarray(imgs), os.path.join(
-                    self.out_dir, f"{name}_step{step:08d}.png"),
+                    self.out_dir, f"{name}_step{step:08d}{self.suffix}.png"),
                 mean=self.mean, std=self.std, max_images=self.max_images)

@@ -201,3 +201,20 @@ def test_spec_table_content_keys_jit_cache():
     # a 5-degree zenith tilt must move the back-projected points — if the
     # stale trace were reused, pc2 would equal pc1 bit-for-bit
     assert not np.allclose(pc1, pc2)
+
+
+def test_adapt_spec_width_only_scales_bev_grid():
+    """A width-only reduced model must get the same density-preserving BEV
+    grid scaling as a height+width reduced one (regression: grid_sizes was
+    only rescaled inside the beam-count branch)."""
+    from rangeldm_tpu.sample_ldm import adapt_spec_to_model
+
+    spec = get_spec("kitti360")
+    half = adapt_spec_to_model(spec, (spec.n_beams, spec.width // 2))
+    assert half.n_beams == spec.n_beams and half.width == spec.width // 2
+    assert half.grid_sizes[1] == max(2, spec.grid_sizes[1] // 2)
+    assert half.grid_sizes[2] == max(2, spec.grid_sizes[2] // 2)
+    both = adapt_spec_to_model(spec, (spec.n_beams // 2, spec.width // 2))
+    assert both.grid_sizes == half.grid_sizes
+    # full resolution passes through untouched
+    assert adapt_spec_to_model(spec, (spec.n_beams, spec.width)) is spec

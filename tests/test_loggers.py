@@ -105,3 +105,15 @@ def test_image_logger_log_scale_early_steps(tmp_path):
     assert early == [1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
     assert lg.should_log(1000) and lg.should_log(2000)
     assert not lg.should_log(1500)
+
+
+def test_image_logger_per_process_suffix(tmp_path):
+    """Multi-host dumps pass a per-process suffix so N processes sharing an
+    output_dir never race on the same PNG path (each writes its OWN local
+    batch slice — a 'winning' unsuffixed file would be nondeterministic)."""
+    import numpy as np
+    from rangeldm_tpu.training.image_logger import ImageLogger
+
+    lg = ImageLogger(str(tmp_path), every=10, suffix="_p1")
+    lg.log(10, inputs=np.zeros((1, 4, 8, 2), np.float32))
+    assert (tmp_path / "inputs_step00000010_p1.png").exists()

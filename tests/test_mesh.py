@@ -40,3 +40,16 @@ def test_replicate(rng):
     tree = {"w": rng.standard_normal((4, 4), dtype=np.float32)}
     out = replicate(mesh, tree)
     assert out["w"].sharding == NamedSharding(mesh, P())
+
+
+def test_largest_divisible_prefix():
+    """The ONE 'auto' inference-mesh policy (shared by the sampling CLI and
+    RangePipeline): largest k <= n_local dividing the batch, floor 1."""
+    from rangeldm_tpu.parallel.mesh import largest_divisible_prefix
+
+    assert largest_divisible_prefix(8, 16) == 8
+    assert largest_divisible_prefix(8, 6) == 6
+    assert largest_divisible_prefix(4, 9) == 3
+    assert largest_divisible_prefix(8, 7) == 7
+    assert largest_divisible_prefix(8, 1) == 1
+    assert largest_divisible_prefix(1, 5) == 1

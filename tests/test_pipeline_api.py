@@ -120,3 +120,19 @@ def test_range_pipeline_inpaint(tmp_path):
     mask[:, :, :4, :] = 1.0
     filled = pipe.inpaint(masked, mask, num_inference_steps=3)
     assert filled.shape == (2, 8, 64, 2) and np.isfinite(filled).all()
+
+
+def test_pipeline_spec_cached_and_notes_once(capsys):
+    """pipe.spec is immutable — compute it once and cache: the reduced-
+    resolution stderr note must not repeat on every to_point_clouds()."""
+    from rangeldm_tpu.pipelines import RangePipeline
+
+    cfg = UNetConfig(sample_size=(8, 64), in_channels=3, out_channels=2,
+                     block_out_channels=(8, 8),
+                     down_block_types=("DownBlock2D",) * 2,
+                     up_block_types=("UpBlock2D",) * 2)
+    pipe = RangePipeline({"unet_cfg": cfg, "vae_cfg": None, "vae": None,
+                          "meta": {}}, dtype=jnp.float32)
+    s1 = pipe.spec
+    assert pipe.spec is s1
+    assert capsys.readouterr().err.count("note:") == 1

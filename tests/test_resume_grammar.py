@@ -56,3 +56,21 @@ def test_resume_value_grammar(tmp_path):
     # explicitly named but missing -> error, never a silent fresh start
     with pytest.raises(FileNotFoundError, match="resume_from_checkpoint"):
         _trainer(tmp_path, "run4", str(tmp_path / "nope")).resume()
+
+
+def test_resume_int_not_bool_aliased(tmp_path):
+    """int 1 == True and int 0 is falsy in Python; the grammar must still
+    treat them as EXPLICIT step numbers (regression: `want in (True,
+    "latest")` sent resume_from_checkpoint: 1 to the newest checkpoint)."""
+    t = _trainer(tmp_path, "run", None)
+    t.state = t.state.replace(step=jnp.asarray(1, jnp.int32))
+    t.ckpt.save(1, jax.device_get(t.state))
+    t.state = t.state.replace(step=jnp.asarray(5, jnp.int32))
+    t.ckpt.save(5, jax.device_get(t.state))
+
+    # 1 restores step 1 — NOT the newest, which True/'latest' resolve to
+    assert _trainer(tmp_path, "run", 1).resume() == 1
+    assert _trainer(tmp_path, "run", True).resume() == 5
+    # 0 is an explicit missing step -> error, never a silent fresh start
+    with pytest.raises(Exception):
+        _trainer(tmp_path, "run", 0).resume()
