@@ -31,6 +31,10 @@ def largest_divisible_prefix(n: int, batch_size: int) -> int:
     """Largest k <= n with batch_size % k == 0 — THE 'auto' inference-mesh
     policy, shared by the sampling CLI (resolve_sampling_mesh) and
     RangePipeline._mesh_for_batch so they cannot silently diverge."""
+    if batch_size <= 0:
+        # 0 % k == 0 for every k, so a degenerate batch would silently
+        # select the FULL mesh; fail at the policy layer instead (ADVICE r4)
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
     n = int(n)
     while n > 1 and batch_size % n:
         n -= 1

@@ -109,6 +109,20 @@ class RangePipeline:
         return self._p["vae_cfg"].down_factor
 
     @property
+    def sensor(self) -> str:
+        return self._sensor
+
+    @sensor.setter
+    def sensor(self, value: str):
+        """Changing the sensor after construction invalidates the cached
+        (or constructor-override) spec so the next `spec` access re-derives
+        it — a stale cached spec would silently back-project with the old
+        sensor's beam tables (ADVICE r4)."""
+        if getattr(self, "_sensor", None) not in (None, value):
+            self._spec = None
+        self._sensor = value
+
+    @property
     def spec(self):
         if self._spec is not None:
             return self._spec

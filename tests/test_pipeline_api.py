@@ -136,3 +136,13 @@ def test_pipeline_spec_cached_and_notes_once(capsys):
     s1 = pipe.spec
     assert pipe.spec is s1
     assert capsys.readouterr().err.count("note:") == 1
+
+    # mutating the public `sensor` attribute invalidates the cached spec
+    # (ADVICE r4) — the next access re-derives it for the new sensor
+    pipe.sensor = "nuscenes"
+    s2 = pipe.spec
+    assert s2 is not s1
+    # (still reduced to the 8x64 model resolution, but nuScenes semantics)
+    assert s2.name == "nuscenes" and s2.mean == 50.0
+    pipe.sensor = "nuscenes"   # same value: no invalidation
+    assert pipe.spec is s2
