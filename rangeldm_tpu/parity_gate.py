@@ -234,6 +234,9 @@ def _main(argv=None):
                     help="override the published MMD target")
     ap.add_argument("--jsd_target", type=float, default=None,
                     help="override the published JSD target")
+    ap.add_argument("--frd_target", type=float, default=None,
+                    help="override the published FRD target (used with "
+                         "--gate_frd)")
     ap.add_argument("--mesh_devices", default="auto")
     ap.add_argument("--fp32", action="store_true",
                     help="sample in float32 instead of bfloat16")
@@ -311,6 +314,8 @@ def _main(argv=None):
         targets["mmd"] = args.mmd_target
     if args.jsd_target is not None:
         targets["jsd"] = args.jsd_target
+    if args.frd_target is not None:
+        targets["frd"] = args.frd_target
     gated = ["mmd", "jsd"] + (["frd"] if args.gate_frd else [])
     checks = {}
     for k in gated:

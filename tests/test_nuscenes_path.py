@@ -33,9 +33,10 @@ def _nus_scan(rng, n=4000):
     return pts.astype(np.float32)
 
 
-@pytest.fixture
-def nuscenes_tree(tmp_path, rng):
-    root = tmp_path / "nus"
+def make_nuscenes_tree(root, rng):
+    """Synthetic nuScenes root: sweeps/LIDAR_TOP .bins + per-split
+    sample_data.json with distractor rows (shared with the parity-gate
+    nuScenes leg)."""
     sweep_dir = root / "sweeps" / "LIDAR_TOP"
     sweep_dir.mkdir(parents=True)
     entries = []
@@ -56,6 +57,11 @@ def nuscenes_tree(tmp_path, rng):
             json.dump(entries_split, f)
         entries.append(names)
     return str(root), entries
+
+
+@pytest.fixture
+def nuscenes_tree(tmp_path, rng):
+    return make_nuscenes_tree(tmp_path / "nus", rng)
 
 
 def test_nuscenes_reader_semantics(nuscenes_tree, rng, monkeypatch):

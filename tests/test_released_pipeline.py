@@ -17,14 +17,20 @@ from test_convert import (
 )
 
 
-def build_fake_release(tmp_path, rng):
+def build_fake_release(tmp_path, rng, ucfg=None, vcfg="default"):
+    """Synthetic released-format dir ({unet, unet_ema, vae, scheduler}/
+    with config.json + safetensors — ldm/train_unconditional.py:654-682).
+    ucfg/vcfg override the default tiny configs (vcfg=None -> pixel-space
+    release with no vae/ subdir, the RangeDM layout)."""
     from safetensors.numpy import save_file
     root = tmp_path / "release"
-    ucfg = UNetConfig(sample_size=(4, 32), in_channels=5, out_channels=4,
-                      block_out_channels=(32, 64),
-                      down_block_types=("DownBlock2D", "AttnDownBlock2D"),
-                      up_block_types=("AttnUpBlock2D", "UpBlock2D"))
-    vcfg = VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4)
+    if ucfg is None:
+        ucfg = UNetConfig(sample_size=(4, 32), in_channels=5, out_channels=4,
+                          block_out_channels=(32, 64),
+                          down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+                          up_block_types=("AttnUpBlock2D", "UpBlock2D"))
+    if vcfg == "default":
+        vcfg = VaeConfig(ch=32, ch_mult=(1, 2), z_channels=4)
 
     for name in ("unet", "unet_ema"):
         d = root / name
@@ -33,23 +39,30 @@ def build_fake_release(tmp_path, rng):
         save_file(sd, str(d / "diffusion_pytorch_model.safetensors"))
         with open(d / "config.json", "w") as f:
             json.dump({
-                "sample_size": [32, 4],   # diffusers [azimuth, beams]
-                "in_channels": 5, "out_channels": 4,
-                "layers_per_block": 2,
-                "block_out_channels": [32, 64],
-                "down_block_types": ["DownBlock2D", "AttnDownBlock2D"],
-                "up_block_types": ["AttnUpBlock2D", "UpBlock2D"],
-                "attention_head_dim": 8,
+                # diffusers stores [azimuth, beams]
+                "sample_size": list(ucfg.sample_size)[::-1],
+                "in_channels": ucfg.in_channels,
+                "out_channels": ucfg.out_channels,
+                "layers_per_block": ucfg.layers_per_block,
+                "block_out_channels": list(ucfg.block_out_channels),
+                "down_block_types": list(ucfg.down_block_types),
+                "up_block_types": list(ucfg.up_block_types),
+                "attention_head_dim": ucfg.attention_head_dim,
             }, f)
 
-    d = root / "vae"
-    d.mkdir()
-    save_file(make_diffusers_vae_state_dict(rng, vcfg),
-              str(d / "diffusion_pytorch_model.safetensors"))
-    with open(d / "config.json", "w") as f:
-        json.dump({"in_channels": 2, "out_channels": 2,
-                   "block_out_channels": [32, 64], "latent_channels": 4,
-                   "layers_per_block": 2, "scaling_factor": 0.18215}, f)
+    if vcfg is not None:
+        d = root / "vae"
+        d.mkdir()
+        save_file(make_diffusers_vae_state_dict(rng, vcfg),
+                  str(d / "diffusion_pytorch_model.safetensors"))
+        with open(d / "config.json", "w") as f:
+            json.dump({"in_channels": vcfg.in_channels,
+                       "out_channels": vcfg.out_ch,
+                       "block_out_channels": [vcfg.ch * m
+                                              for m in vcfg.ch_mult],
+                       "latent_channels": vcfg.z_channels,
+                       "layers_per_block": vcfg.num_res_blocks,
+                       "scaling_factor": vcfg.scaling_factor}, f)
 
     d = root / "scheduler"
     d.mkdir()
