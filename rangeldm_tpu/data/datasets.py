@@ -225,10 +225,27 @@ def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in keys}
 
 
+class LoaderStallWarning(UserWarning):
+    """The RangeLoader's producer cannot sustain the consumer's demand —
+    the runtime version of tools/bench_loader.py's verdict. The reference
+    has no such signal: a starved torch DataLoader silently stalls until
+    the 2h NCCL timeout (ldm/train_unconditional.py:127)."""
+
+
 class RangeLoader:
     """Minimal epoch iterator with shuffling and a background prefetch
     thread — the torch-DataLoader replacement feeding the TPU host
-    pipeline."""
+    pipeline.
+
+    Self-instrumenting: tracks how long the consumer blocks on an empty
+    queue and, once it has starved for STALL_STEPS consecutive batches,
+    emits ONE LoaderStallWarning naming the measured production rate, the
+    demanded rate, and the config remedies. ``wait_fraction`` (live,
+    fraction of wall-clock the consumer spent waiting this epoch) feeds
+    the trainers' step metrics as ``data_wait_frac``."""
+
+    STALL_STEPS = 10      # consecutive starved gets before the warning
+    STALL_WAIT_S = 0.01   # a get blocking longer than this is "starved"
 
     def __init__(self, dataset: RangeImageDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
@@ -243,6 +260,9 @@ class RangeLoader:
         self.num_threads = num_threads
         self.shard_by_process = shard_by_process
         self._epoch = 0
+        self._warned_stall = False
+        self.wait_fraction = 0.0          # updated live during iteration
+        self.stall_report: Optional[dict] = None
 
     def _order(self):
         order = np.arange(len(self.dataset))
@@ -267,9 +287,30 @@ class RangeLoader:
             n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _warn_stall(self, starved: int, measured: float, demanded: float,
+                    wait_frac: float):
+        self._warned_stall = True
+        self.stall_report = {
+            "measured_imgs_per_s": measured, "demanded_imgs_per_s": demanded,
+            "starved_batches": starved, "wait_fraction": wait_frac,
+            "num_threads": self.num_threads,
+        }
+        import warnings
+        warnings.warn(LoaderStallWarning(
+            f"data producer cannot keep up: measured {measured:.0f} img/s "
+            f"vs the {demanded:.0f} img/s the training step demands "
+            f"(consumer blocked on an empty queue for {starved} consecutive "
+            f"batches; wait fraction {wait_frac:.0%}). Remedies: set "
+            f"data.cache_compress: false (zlib decode is the usual "
+            f"bottleneck — tools/bench_loader.py measures ~7x faster "
+            f"reads), cache_latents: true for unconditional frozen-VAE "
+            f"training, or raise num_threads (currently "
+            f"{self.num_threads})."), stacklevel=3)
+
     def __iter__(self):
         import queue
         import threading
+        import time
         from concurrent.futures import ThreadPoolExecutor
 
         order = self._order()
@@ -279,6 +320,10 @@ class RangeLoader:
         pool = ThreadPoolExecutor(self.num_threads)
         stop = threading.Event()
         end = object()
+        # producer-side intrinsic rate: images per second of fetch+collate
+        # time only (put-blocking excluded, so a fast producer waiting on a
+        # slow consumer is not misreported as slow)
+        prod = {"imgs": 0, "busy_s": 0.0}
 
         def put(item) -> bool:
             """Bounded put that gives up once the consumer is gone."""
@@ -299,8 +344,12 @@ class RangeLoader:
                     if stop.is_set():
                         return
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    t0 = time.perf_counter()
                     samples = list(pool.map(self.dataset.__getitem__, idx))
-                    if not put(collate(samples)):
+                    batch = collate(samples)
+                    prod["busy_s"] += time.perf_counter() - t0
+                    prod["imgs"] += len(idx)
+                    if not put(batch):
                         return
                 put(end)
             except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
@@ -308,13 +357,33 @@ class RangeLoader:
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
+        t_epoch = time.perf_counter()
+        wait_s = 0.0
+        consumed = 0
+        starved = 0
         try:
             while True:
+                t0 = time.perf_counter()
                 item = q.get()
+                now = time.perf_counter()
+                got_wait = now - t0
+                wait_s += got_wait
                 if item is end:
                     break
                 if isinstance(item, BaseException):
                     raise RuntimeError("RangeLoader producer failed") from item
+                consumed += self.batch_size
+                elapsed = max(now - t_epoch, 1e-9)
+                self.wait_fraction = wait_s / elapsed
+                if got_wait > self.STALL_WAIT_S:
+                    starved += 1
+                    if starved >= self.STALL_STEPS and not self._warned_stall:
+                        measured = prod["imgs"] / max(prod["busy_s"], 1e-9)
+                        demanded = consumed / max(elapsed - wait_s, 1e-9)
+                        self._warn_stall(starved, measured, demanded,
+                                         self.wait_fraction)
+                else:
+                    starved = 0
                 yield item
         finally:
             # consumers may break mid-epoch (sample CLIs, eval loops):

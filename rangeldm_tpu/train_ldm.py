@@ -421,7 +421,10 @@ class LdmTrainer:
         return path
 
     def fit(self, batches, max_steps: Optional[int] = None,
-            log_every: int = 50) -> dict:
+            log_every: int = 50, loader=None) -> dict:
+        """`loader`: the RangeLoader feeding `batches` (which may wrap it
+        in an epoch generator) — used only to surface its live
+        producer-wait fraction as the `data_wait_frac` step metric."""
         from rangeldm_tpu.training.loggers import (
             ScalarLogger, emergency_checkpoint,
         )
@@ -462,6 +465,13 @@ class LdmTrainer:
                             step=step,
                             sps=((step - step0)
                                  / max(time.perf_counter() - t0, 1e-9)))
+                        if loader is not None:
+                            # input-pipeline health: fraction of wall-clock
+                            # the consumer spent blocked on an empty queue
+                            # (LoaderStallWarning fires on sustained stalls)
+                            last["data_wait_frac"] = round(
+                                float(getattr(loader, "wait_fraction", 0.0)),
+                                4)
                         logger.log(step, last)
                     if step % ckpt_steps == 0:
                         self.ckpt.save(step, jax.device_get(self.state))
@@ -583,7 +593,7 @@ def main():
         while True:
             yield from loader
 
-    trainer.fit(epochs(), max_steps=args.max_steps or total)
+    trainer.fit(epochs(), max_steps=args.max_steps or total, loader=loader)
     trainer.save_final()
 
 

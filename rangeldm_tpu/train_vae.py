@@ -199,7 +199,7 @@ class VaeTrainer:
         return 0
 
     def fit(self, batches, max_steps: Optional[int] = None,
-            log_every: int = 50) -> dict:
+            log_every: int = 50, loader=None) -> dict:
         rng = jax.random.PRNGKey(int(self.cfg.get("seed", 0)))
         ckpt_every = int(self.cfg.get("checkpoint_every_steps", 1020))
         image_logger = None
@@ -262,6 +262,11 @@ class VaeTrainer:
                     if step % log_every == 0 or (max_steps and step >= max_steps):
                         last = {k: float(v) for k, v in {**gm, **dm}.items()}
                         last["step"] = step
+                        if loader is not None:
+                            # input-pipeline health (see train_ldm.fit)
+                            last["data_wait_frac"] = round(
+                                float(getattr(loader, "wait_fraction", 0.0)),
+                                4)
                         logger.log(step, last)
                     if step % ckpt_every == 0:
                         self.ckpt.save(step, jax.device_get(self.state))
@@ -374,7 +379,8 @@ def main():
             yield from loader
 
     total = int(cfg.get("max_epochs", 1000)) * len(loader)
-    trainer.fit(epochs(), max_steps=args.max_steps or total)
+    trainer.fit(epochs(), max_steps=args.max_steps or total,
+                loader=loader)
 
     # post-fit test pass over the held-out split, mirroring
     # vae/main.py:905-906 `trainer.test(model, data)` (the reference's

@@ -261,3 +261,64 @@ def test_multihost_shards_equal_length(monkeypatch):
     flat = [i for o in orders for i in o]
     assert len(flat) == len(set(flat))
     assert lens[0] == (77 // 4) // 4
+
+
+def test_loader_stall_warning(monkeypatch):
+    """A producer that cannot sustain the consumer's demand must emit ONE
+    structured LoaderStallWarning naming the measured img/s, the demanded
+    rate, and the config remedies (the runtime version of
+    tools/bench_loader.py's verdict — vs the reference's silent stall until
+    the 2h timeout, ldm/train_unconditional.py:127)."""
+    from rangeldm_tpu.data.datasets import LoaderStallWarning, RangeLoader
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            time.sleep(0.02)   # 1 thread x 50 items/s << consumer demand
+            return {"jpg": np.zeros((4, 8, 2), np.float32)}
+
+    loader = RangeLoader(Slow(), batch_size=4, shuffle=False, prefetch=1,
+                         num_threads=1)
+    monkeypatch.setattr(RangeLoader, "STALL_STEPS", 3)
+    monkeypatch.setattr(RangeLoader, "STALL_WAIT_S", 0.005)
+    with pytest.warns(LoaderStallWarning) as rec:
+        for _ in loader:       # consumer consumes instantly -> starves
+            pass
+    assert len(rec) == 1       # once per loader, not per starved batch
+    msg = str(rec[0].message)
+    assert "img/s" in msg and "cache_compress" in msg \
+        and "cache_latents" in msg
+    rep = loader.stall_report
+    assert rep["starved_batches"] >= 3
+    assert 0 < rep["measured_imgs_per_s"] < rep["demanded_imgs_per_s"]
+    assert loader.wait_fraction > 0.5   # consumer mostly blocked
+
+    # second epoch on the same (still-starved) loader: no duplicate warning
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error", LoaderStallWarning)
+        for _ in loader:
+            pass
+
+
+def test_loader_no_stall_warning_when_keeping_up():
+    """A producer faster than the consumer must never warn, and the wait
+    fraction it reports to the trainers stays low."""
+    from rangeldm_tpu.data.datasets import LoaderStallWarning, RangeLoader
+
+    class Fast:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"jpg": np.zeros((4, 8, 2), np.float32)}
+
+    loader = RangeLoader(Fast(), batch_size=4, shuffle=False, prefetch=2)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error", LoaderStallWarning)
+        for _ in loader:
+            time.sleep(0.005)  # consumer is the slow side
+    assert loader.stall_report is None
