@@ -28,7 +28,14 @@ chip (VERDICT r2 weak #1, r3 next #3/#6):
   * train — the training-side numbers that previously lived only in
     BENCHMARKS.md prose: LDM train-step ms/b32 (latent-cached and live
     encode), and the VAE-GAN gen+disc step ms/b16 (f32, like the
-    reference's trainer). Skip with BENCH_TRAIN=0.
+    reference's trainer). Skip with BENCH_TRAIN=0;
+  * components (VERDICT r4 next #3) — per-component device timings (UNet
+    forward ms, VAE decode ms, direct best-of-N) plus a jax.profiler-traced
+    attention/conv share of the UNet forward, so round-over-round
+    comparisons separate code changes from chip-health drift;
+  * north_star (VERDICT r4 next #2) — the claim ledger: which number
+    carries the >=10x target and under what caveats (BENCHMARKS.md
+    §North-star accounting is the prose version).
 """
 
 import json
@@ -242,8 +249,71 @@ def bench_sampling() -> dict:
         except Exception as e:    # never kill the headline bench
             dpmpp = {"dpmpp_error": repr(e)}
 
+    components = {}
+    if os.environ.get("BENCH_COMPONENTS", "1") != "0":
+        components = bench_components(unet_fn, vae_decode, spec, dtype,
+                                      data_shd, jit_kw)
+
     return {"sps": sps, "mfu": mfu, "flops_per_sample": flops_per_sample,
-            "mesh_devices": n_chips, **dpmpp}
+            "mesh_devices": n_chips, "components": components, **dpmpp}
+
+
+def bench_components(unet_fn, vae_decode, spec, dtype, data_shd, jit_kw) -> dict:
+    """Per-component timings so round-over-round comparisons can separate
+    code changes from chip sickness (VERDICT r4 next #3): direct best-of-N
+    device timings for the UNet forward and the VAE decode at the bench
+    batch, plus a jax.profiler-traced decomposition of the UNet forward
+    (attention vs conv vs other shares, keyed off the device plane)."""
+    import shutil
+    import tempfile
+
+    h, w = spec.unet.sample_size
+    lat = jnp.zeros((BATCH, h, w, spec.unet.in_channels), dtype)
+    ts = jnp.zeros((BATCH,), jnp.int32)
+    z = jnp.zeros((BATCH, h, w, spec.unet.out_channels), dtype)
+    if data_shd is not None:
+        from rangeldm_tpu.parallel.mesh import data_sharding
+        lat, z = jax.device_put(lat, data_shd), jax.device_put(z, data_shd)
+        ts = jax.device_put(ts, data_sharding(data_shd.mesh, 1))
+    unet_j = jax.jit(unet_fn, **jit_kw)
+    dec_j = jax.jit(vae_decode, **jit_kw)
+    _fetch(unet_j(lat, ts))
+    _fetch(dec_j(z))
+    out = {
+        "unet_fwd_ms": round(_best_ms(lambda i: unet_j(lat, ts), 8), 2),
+        "vae_decode_ms": round(_best_ms(lambda i: dec_j(z), 4), 2),
+        "batch": BATCH,
+    }
+
+    tdir = tempfile.mkdtemp(prefix="bench_trace_")
+    try:
+        from rangeldm_tpu.utils.profiling import trace_op_breakdown
+        n = 4
+        jax.profiler.start_trace(tdir)
+        y = None
+        for _ in range(n):
+            y = unet_j(lat, ts)
+        _fetch(y)
+        jax.profiler.stop_trace()
+        bd = trace_op_breakdown(tdir, groups={
+            "attention": ("fused_attention", "flash", "attn"),
+            "conv": ("conv",),
+        })
+        total = bd["total_ms"] / n
+        att = bd["groups"]["attention"] / n
+        conv = bd["groups"]["conv"] / n
+        out["unet_fwd_ms_traced"] = round(total, 2)
+        out["attention_ms_traced"] = round(att, 2)
+        out["conv_ms_traced"] = round(conv, 2)
+        if total > 0:
+            out["attention_frac"] = round(att / total, 3)
+            out["conv_frac"] = round(conv / total, 3)
+        out["trace_plane"] = bd["plane"]
+    except Exception as e:   # trace parsing is best-effort, never fatal
+        out["trace_error"] = repr(e)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return out
 
 
 def _bench_ldm_steps(tmp: str, iters: int) -> dict:
@@ -387,16 +457,38 @@ def main():
         train = bench_train()
         print(f"[bench] train: {train}", file=sys.stderr)
 
+    # the single-source north-star ledger (BENCHMARKS.md §North-star
+    # accounting): which claim carries the >=10x and under what caveat
+    north_star = {
+        "target": ">=10x reference samples/s/chip + MMD/JSD within 5%",
+        "ddim50_vs_baseline": round(s["sps"] / BASELINE_SPS, 3),
+        "carrier": "dpmpp20_matched_quality",
+        "dpmpp20_vs_baseline": (round(s["sps_dpmpp"] / BASELINE_SPS, 3)
+                                if "sps_dpmpp" in s else None),
+        "throughput_caveats": [
+            "matched-quality evidence synthetic until released weights "
+            "land (tests/test_dpmpp.py, test_flagship_composition.py)",
+            "baseline is a calibrated estimate (RANGELDM_BASELINE_SPS "
+            "overrides); bench chip HBM-degraded (chip_health)",
+        ],
+        "quality_status": "blocked: no released weights/data in sandbox; "
+                          "recipe = tools/fetch_released.py + parity_gate "
+                          "(CI-driven on synthetic artifacts, both "
+                          "checkpoint layouts)",
+    }
+
     print(json.dumps({
         "metric": "rangeldm_kitti360_sampling_throughput",
         "value": round(s["sps"], 3),
         "unit": "samples/s",
         "vs_baseline": round(s["sps"] / BASELINE_SPS, 3),
+        "north_star": north_star,
         "mfu": round(s["mfu"], 4),
         "tflop_per_sample": round(s["flops_per_sample"] / 1e12, 4),
         "mesh_devices": s["mesh_devices"],
         "dpmpp": {k: s[k] for k in ("sps_dpmpp", "dpmpp_steps", "dpmpp_error")
                   if k in s},
+        "components": s["components"],
         "chip_health": health,
         "train": train,
         "anchor": ANCHOR,
