@@ -467,7 +467,8 @@ def main():
                                 if "sps_dpmpp" in s else None),
         "throughput_caveats": [
             "matched-quality evidence synthetic until released weights "
-            "land (tests/test_dpmpp.py, test_flagship_composition.py)",
+            "land (tests/test_dpmpp.py, test_flagship_composition.py; "
+            "conditional MAE legs in test_dpmpp_conditional.py)",
             "baseline is a calibrated estimate (RANGELDM_BASELINE_SPS "
             "overrides); bench chip HBM-degraded (chip_health)",
         ],
